@@ -1,0 +1,139 @@
+package graft.extract
+
+import graft.dom.Node
+
+/** The pre-clean stage (P1) and attribute stripper (P11).
+  *
+  * P1 reproduces the effective behavior of the reference's lxml `Cleaner`
+  * configuration (/root/reference/readability/cleaners.py:28-32: scripts,
+  * javascript, comments, style, links, processing_instructions on;
+  * page_structure/forms/frames/embedded off): drop `<script>`, `<style>`,
+  * `<link>` elements, comments and PIs; remove `on*` event attributes and
+  * `style` attributes; blank `javascript:`/`vbscript:` URLs.
+  * Implemented as a single tree pass (no serialization round-trip).
+  */
+object Cleaners {
+
+  private val killTags = Set("script", "style", "link")
+
+  /** In-place P1 clean. Dropped nodes keep their tails (lxml Cleaner uses
+    * drop_tree-style removal via `el.drop_tree()`). */
+  def cleanHtml(root: Node): Unit = {
+    def walk(n: Node): Unit = {
+      // iterate over a snapshot since we mutate the child list
+      var i = 0
+      while (i < n.children.length) {
+        val c = n.children(i)
+        if (c.isComment || c.isPi || killTags.contains(c.tag)) {
+          c.dropTree()
+          // child list shrank; re-check same index
+        } else {
+          cleanNodeAttrs(c)
+          walk(c)
+          i += 1
+        }
+      }
+    }
+    cleanNodeAttrs(root)
+    walk(root)
+  }
+
+  private def cleanNodeAttrs(n: Node): Unit = {
+    if (!n.hasAttrs) return
+    val toRemove = n.attrs.keysIterator.filter { k =>
+      (k.length > 2 && k.startsWith("on")) || k == "style"
+    }.toList
+    toRemove.foreach(n.removeAttr)
+    for (urlAttr <- List("href", "src", "action")) {
+      val v = n.attr(urlAttr)
+      if (v != null) {
+        val t = v.trim.toLowerCase
+        if (t.startsWith("javascript:") || t.startsWith("vbscript:"))
+          n.setAttr(urlAttr, "")
+      }
+    }
+  }
+
+  /** P11 — the survivors of `clean_attributes`
+    * (/root/reference/readability/cleaners.py:5-20). The reference regex
+    * strips, from serialized HTML, any *valued* attribute named width,
+    * height, style, `[-a-z]*color`, `background[-a-z]*`, or `o` followed
+    * only by `n`s (the `on*` pattern is a regex quirk: it matches "o",
+    * "on", "onn"…, so real `onclick` handlers are NOT matched — they were
+    * already removed by P1). Empty-valued attributes survive (the value
+    * pattern requires 1+ chars). We reproduce the same surviving set on
+    * the tree. */
+  def cleanAttributes(root: Node): Unit = {
+    root.iterSubtree.foreach { n =>
+      if (n.isElement && n.hasAttrs) {
+        val bad = n.attrs.iterator.filter { case (k, v) =>
+          v != null && v.nonEmpty && isBadAttr(k)
+        }.map(_._1).toList
+        bad.foreach(n.removeAttr)
+      }
+    }
+  }
+
+  private val onStar = java.util.regex.Pattern.compile("on*",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def isBadAttr(kRaw: String): Boolean = {
+    val k = kRaw.toLowerCase
+    k == "width" || k == "height" || k == "style" ||
+      (k.endsWith("color") && k.dropRight(5).forall(c => (c >= 'a' && c <= 'z') || c == '-')) ||
+      (k.startsWith("background") && k.drop(10).forall(c => (c >= 'a' && c <= 'z') || c == '-')) ||
+      onStar.matcher(k).matches()
+  }
+
+  /** Python 2 `unicode.isspace()` — Unicode whitespace incl. NBSP and NEL,
+    * which Java's `Character.isWhitespace` excludes. */
+    @inline def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' ||
+      c == '\u202F' || c == '\u0085'
+
+  /** `normalize_spaces` (/root/reference/readability/cleaners.py:22-26):
+    * Python `' '.join(s.split())` — any (unicode) whitespace run to one
+    * space, leading/trailing stripped. */
+  def normalizeSpaces(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (pyIsSpace(c)) { if (started) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `clean` (/root/reference/readability/htmls.py:122-125):
+    * `\s*\n\s*` → `\n`, then `[ \t]{2,}` → one space, then strip. The Py2
+    * pattern has no re.UNICODE flag, so `\s` is ASCII-only there, while the
+    * final unicode `.strip()` IS unicode-aware — replicated exactly. */
+  def clean(text: String): String = {
+    if (text == null) return ""
+    val a = NL.matcher(text).replaceAll("\n")
+    val b = MULTISPACE.matcher(a).replaceAll(" ")
+    strip(b)
+  }
+
+  private val NL = java.util.regex.Pattern.compile(
+    "[ \\t\\n\\x0B\\f\\r]*\\n[ \\t\\n\\x0B\\f\\r]*")
+  private val MULTISPACE = java.util.regex.Pattern.compile("[ \\t]{2,}")
+
+  /** Python 2 `unicode.strip()`. */
+  def strip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && pyIsSpace(s.charAt(a))) a += 1
+    while (b > a && pyIsSpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+}

@@ -1,0 +1,626 @@
+package graft.extract
+
+import graft.dom.{HtmlParser, Node, Serializer}
+
+import scala.collection.mutable
+
+/** Extraction options — the live option keys of the reference
+  * (/root/reference/readability/readability.py:690-706). Note the reference's
+  * scoring-stage paragraph-length gate (`min_text_len`,
+  * readability.py:406) is a never-defaulted option: Py2 `len < None` is
+  * always False, so that gate is effectively OFF while `min_text_length`=25
+  * stays live in sanitize (readability.py:514). We replicate the bug because
+  * the golden fixtures were generated with it live (SURVEY.md §1).
+  */
+final case class ExtractOptions(
+    minTextLength: Int = 25,
+    retryLength: Int = 250,
+    url: String = null)
+
+/** Result of extraction, mirroring `Summary(confidence, html)`
+  * (/root/reference/readability/readability.py:678-687) plus the engine's
+  * additions: extracted plain text (whitespace-normalized) and per-block
+  * character spans into it (north star). */
+final case class Summary(
+    confidence: Double,
+    html: String,
+    text: String,
+    spans: Array[(Int, Int)],
+    failed: Boolean)
+
+/** The readability extraction pipeline, re-derived from
+  * /root/reference/readability/readability.py as pure Scala over our DOM.
+  * All quirks of the reference that shaped its golden fixtures are
+  * replicated deliberately; each is cited. Stateless; safe to call from many
+  * threads (one call per transcript turn inside `mapPartitions`).
+  */
+object Extractor {
+
+  private final class Candidate(val elem: Node, var score: Double)
+
+  private class UnparseableException(msg: String) extends RuntimeException(msg)
+
+  // ---------- public API ----------
+
+  /** `Document(input, url=...).summary()` equivalent — the flagship path.
+    * The reference's multi-page tail is dead code behind an early return
+    * (readability.py:731-733); only page_0 is produced (SURVEY.md §2k). */
+  def extract(html: String, opts: ExtractOptions = ExtractOptions()): Summary = {
+    try {
+      val doc = parse(html, opts.url)
+      getArticle(doc, opts)
+    } catch {
+      case _: StackOverflowError => Summary(0.0, null, "", Array.empty, failed = true)
+      case scala.util.control.NonFatal(_) => Summary(0.0, null, "", Array.empty, failed = true)
+    }
+  }
+
+  /** `parse(input, url)` (/root/reference/readability/htmls.py:127-135):
+    * DOM parse → Cleaner pass (P1) → link absolutization. */
+  def parse(html: String, url: String = null): Node = {
+    val doc = HtmlParser.parse(html)
+    Cleaners.cleanHtml(doc)
+    if (url != null) makeLinksAbsolute(doc, url)
+    else resolveBaseHref(doc)
+    doc
+  }
+
+  // ---------- scalar helpers ----------
+
+  /** `text_length` (readability.py:44-45). */
+  def textLength(n: Node): Int = Cleaners.clean(n.textContent).length
+
+  /** `class_weight` (readability.py:47-63). */
+  def classWeight(e: Node): Int = {
+    var weight = 0
+    val cls = e.attr("class")
+    if (cls != null && cls.nonEmpty) {
+      if (Regexes.search(Regexes.negative, cls)) weight -= 25
+      if (Regexes.search(Regexes.positive, cls)) weight += 25
+    }
+    val id = e.attr("id")
+    if (id != null && id.nonEmpty) {
+      if (Regexes.search(Regexes.negative, id)) weight -= 25
+      if (Regexes.search(Regexes.positive, id)) weight += 25
+    }
+    weight
+  }
+
+  /** `score_node` tag prior + class weight (readability.py:65-79). */
+  def scoreNode(elem: Node): Double = {
+    var s = classWeight(elem).toDouble
+    elem.tag match {
+      case "div" => s += 5
+      case "pre" | "td" | "blockquote" => s += 3
+      case "address" | "ol" | "ul" | "dl" | "dd" | "dt" | "li" | "form" => s -= 3
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "th" => s -= 5
+      case _ =>
+    }
+    s
+  }
+
+  /** `get_link_density` (readability.py:381-388). */
+  def linkDensity(elem: Node): Double = {
+    var linkLength = 0
+    elem.findAll("a").foreach(a => linkLength += textLength(a))
+    linkLength.toDouble / math.max(textLength(elem), 1)
+  }
+
+  // ---------- P4: remove_unlikely_candidates ----------
+
+  /** Replicates lxml's `doc.iter()` mutation semantics exactly
+    * (readability.py:369-379): lxml's depth-first iterator precomputes the
+    * next node from the current one BEFORE the loop body runs, so dropping
+    * the current element makes iteration descend into the *detached*
+    * subtree and terminate at its end (the detached root has no parent to
+    * walk up through). A dropped childless element does not disturb
+    * iteration. This quirk shaped the golden fixtures and is preserved. */
+  def removeUnlikelyCandidates(doc: Node): Unit = {
+    def nextOf(top: Node, n: Node): Node = {
+      if (n.children.nonEmpty) return n.children(0)
+      var c = n
+      while (c != null && !(c eq top)) {
+        val p = c.parent
+        if (p == null) return null
+        val i = p.children.indexOf(c)
+        if (i >= 0 && i + 1 < p.children.length) return p.children(i + 1)
+        c = p
+      }
+      null
+    }
+    var current: Node = doc
+    while (current != null) {
+      val nxt = nextOf(doc, current)
+      if (current.isElement) {
+        val s = current.attrOr("class", "") + " " + current.attrOr("id", "")
+        if (Regexes.search(Regexes.unlikelyCandidates, s) &&
+          !Regexes.search(Regexes.okMaybeItsACandidate, s) &&
+          current.tag != "body" &&
+          current.parent != null) {
+          current.dropTree()
+        }
+      }
+      current = nxt
+    }
+  }
+
+  // ---------- P5-P9: double-break and misused-div transforms ----------
+
+  /** A "part" is either a string or an element
+    * (readability.py:81-137). */
+  private type Part = Either[String, Node]
+
+  /** `split_into_parts` — destroys `.text` and child tails
+    * (readability.py:125-137). */
+  def splitIntoParts(elem: Node): mutable.ArrayBuffer[Part] = {
+    val parts = new mutable.ArrayBuffer[Part]
+    if (elem.text != null) { parts += Left(elem.text); elem.text = null }
+    elem.children.foreach { child =>
+      parts += Right(child)
+      if (child.tail != null) { parts += Left(child.tail); child.tail = null }
+    }
+    parts
+  }
+
+  /** `mark_if_whitespace` (readability.py:168-191). */
+  def markIfWhitespace(parts: collection.Seq[Part], left: Int, right: Int): Set[Int] = {
+    var onlyWs = true
+    var i = left + 1
+    while (onlyWs && i < right) {
+      parts(i) match {
+        case Left(s) => if (Cleaners.strip(s).nonEmpty) onlyWs = false
+        case Right(_) => onlyWs = false
+      }
+      i += 1
+    }
+    if (onlyWs) (left + 1 until right).toSet else Set.empty
+  }
+
+  /** `squeeze_breaks` (readability.py:193-225). */
+  def squeezeBreaks(parts: mutable.ArrayBuffer[Part]): mutable.ArrayBuffer[Part] = {
+    val breaks = parts.zipWithIndex.collect {
+      case (Right(n), i) if n.tag == "br" => i
+    }
+    var leftBreak = -1
+    val marked = mutable.Set.empty[Int]
+    breaks.foreach { b =>
+      if (leftBreak < 0) leftBreak = b
+      else {
+        marked ++= markIfWhitespace(parts, leftBreak, b)
+        leftBreak = b
+      }
+    }
+    val out = new mutable.ArrayBuffer[Part](parts.length)
+    parts.zipWithIndex.foreach { case (p, i) => if (!marked.contains(i)) out += p }
+    out
+  }
+
+  /** `make_paragraph_from_parts` (readability.py:145-166). Returns null when
+    * the paragraph would be empty (whitespace-only strings are then LOST —
+    * they were already detached by split_into_parts; fixture-relevant). */
+  def makeParagraphFromParts(parts: collection.Seq[Part]): Node = {
+    val p = new Node("p")
+    var lastElement: Node = null
+    parts.foreach {
+      case Left(s) =>
+        if (lastElement == null) p.text = (if (p.text == null) "" else p.text) + s
+        else lastElement.tail = (if (lastElement.tail == null) "" else lastElement.tail) + s
+      case Right(n) =>
+        p.append(n)
+        lastElement = n
+    }
+    if ((p.text == null || Cleaners.strip(p.text).isEmpty) && p.children.isEmpty) null
+    else p
+  }
+
+  private def insertP(parent: Node, atElem: Node, parts: mutable.ArrayBuffer[Part]): Unit = {
+    val p = makeParagraphFromParts(parts)
+    if (p != null) {
+      val index = parent.indexOf(atElem)
+      parent.insert(index, p)
+    }
+    parts.clear()
+  }
+
+  private def appendP(parent: Node, parts: mutable.ArrayBuffer[Part]): Unit = {
+    val p = makeParagraphFromParts(parts)
+    if (p != null) parent.append(p)
+    parts.clear()
+  }
+
+  private val doubleBreakBlockTags: Set[String] =
+    Set("h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "div", "img", "p",
+      "pre", "table")
+
+  /** `transform_double_breaks_into_paragraphs_elem` — the 2-state FSM
+    * (readability.py:250-308). */
+  def transformDoubleBreaksElem(elem: Node): Unit = {
+    val START = 0; val BR = 1
+    var state = START
+    var firstBr: Node = null
+    val acc = new mutable.ArrayBuffer[Part]
+    val parts = squeezeBreaks(splitIntoParts(elem))
+    parts.foreach { part =>
+      if (state == START) {
+        part match {
+          case Left(s) => acc += Left(s)
+          case Right(n) =>
+            if (n.tag == "br") { firstBr = n; state = BR }
+            else if (doubleBreakBlockTags.contains(n.tag)) insertP(elem, n, acc)
+            else acc += Right(n)
+        }
+      } else { // BR
+        part match {
+          case Left(s) =>
+            acc += Right(firstBr)
+            acc += Left(s)
+          case Right(n) =>
+            if (n.tag == "br") {
+              firstBr.dropTree()
+              insertP(elem, n, acc)
+              n.dropTree()
+            } else if (doubleBreakBlockTags.contains(n.tag)) {
+              acc += Right(firstBr)
+              insertP(elem, n, acc)
+            } else {
+              acc += Right(firstBr)
+              acc += Right(n)
+            }
+        }
+        state = START
+        firstBr = null
+      }
+    }
+    appendP(elem, acc)
+  }
+
+  /** `transform_double_breaks_into_paragraphs` (readability.py:310-359). */
+  def transformDoubleBreaks(doc: Node): Unit =
+    doc.findAll("div").foreach(transformDoubleBreaksElem)
+
+  /** `transform_misused_divs_into_paragraphs` (readability.py:361-367):
+    * divs whose *serialized* children don't match divToPElementsRe are
+    * retagged <p>. The regex has a quirk — `<a` also matches `<abbr>` and
+    * `<address>`, i.e. anchors (and any a-/p-prefixed tag) count as
+    * block; running the regex on serialized children preserves that. */
+  def transformMisusedDivs(doc: Node): Unit = {
+    doc.findAll("div").foreach { elem =>
+      if (!Regexes.search(Regexes.divToPElements, Serializer.serializeChildren(elem)))
+        elem.tag = "p"
+    }
+  }
+
+  // ---------- A3/A4: score_paragraphs ----------
+
+  /** `score_paragraphs` (readability.py:390-437). The per-paragraph length
+    * gate is OFF (see ExtractOptions note); the length bonus uses Py2 floor
+    * division (`inner_text_len / 100`, readability.py:419). Candidates are
+    * keyed by node identity; insertion order is retained for the
+    * link-density scaling pass and for deterministic tie-breaks. */
+  def scoreParagraphs(doc: Node): mutable.LinkedHashMap[Node, Double] = {
+    val candidates = mutable.LinkedHashMap.empty[Node, Double]
+    val contributing = new mutable.ArrayBuffer[Node]
+
+    for (tag <- Seq("p", "pre", "td"); elem <- doc.findAll(tag)) {
+      val parentNode = elem.parent
+      if (parentNode != null) {
+        val grandParent = parentNode.parent
+        val innerText = Cleaners.clean(elem.textContent)
+        val innerTextLen = innerText.length
+        // min_text_len gate disabled (Py2 `len < None` is False)
+        if (!candidates.contains(parentNode)) {
+          candidates(parentNode) = scoreNode(parentNode)
+          contributing += parentNode
+        }
+        if (grandParent != null && !candidates.contains(grandParent)) {
+          candidates(grandParent) = scoreNode(grandParent)
+          contributing += grandParent
+        }
+        var contentScore = 1.0
+        contentScore += countCommas(innerText) + 1 // len(split(','))
+        contentScore += math.min(innerTextLen / 100, 3) // Py2 floor div
+        candidates(parentNode) = candidates(parentNode) + contentScore
+        if (grandParent != null)
+          candidates(grandParent) = candidates(grandParent) + contentScore / 2.0
+      }
+    }
+    // link-density scaling over the `ordered` list (readability.py:428-435)
+    contributing.foreach { elem =>
+      val ld = linkDensity(elem)
+      candidates(elem) = candidates(elem) * (1 - ld)
+    }
+    candidates
+  }
+
+  private def countCommas(s: String): Int = {
+    var c = 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == ',') c += 1; i += 1 }
+    c
+  }
+
+  /** `select_best_candidate` (readability.py:439-449) — top-1 by score.
+    * Ties: the reference sorts an (unordered Py2) dict's values stably;
+    * we break ties by first insertion, which is deterministic. */
+  def selectBestCandidate(candidates: mutable.LinkedHashMap[Node, Double]): Candidate0 = {
+    if (candidates.isEmpty) return null
+    var bestElem: Node = null
+    var bestScore = Double.NegativeInfinity
+    candidates.foreach { case (elem, score) =>
+      if (score > bestScore) { bestScore = score; bestElem = elem }
+    }
+    Candidate0(bestElem, bestScore)
+  }
+
+  final case class Candidate0(elem: Node, score: Double)
+
+  // ---------- W2: sibling merge ----------
+
+  /** `get_raw_article` (readability.py:586-629). NOTE: the per-sibling `<p>`
+    * rescue reads `sibling.text` — the element's own leading text only, not
+    * text_content (readability.py:616). Appending MOVES nodes out of the
+    * document (lxml semantics), which shapes the lenient retry
+    * (SURVEY.md §2j). */
+  def getRawArticle(candidates: mutable.LinkedHashMap[Node, Double],
+      best: Candidate0): Node = {
+    val siblingScoreThreshold = math.max(10.0, best.score * 0.2)
+    val article = new Node("div")
+    article.setAttr("id", "page")
+    val bestElem = best.elem
+    if (bestElem.parent == null)
+      throw new UnparseableException("best candidate has no parent")
+    val siblings = bestElem.parent.children.toList // snapshot (getchildren())
+    siblings.foreach { sibling =>
+      var append = false
+      if (sibling eq bestElem) append = true
+      if (!append && candidates.contains(sibling) &&
+        candidates(sibling) >= siblingScoreThreshold) append = true
+      if (!append && sibling.tag == "p") {
+        val ld = linkDensity(sibling)
+        val nodeContent = if (sibling.text == null) "" else sibling.text
+        val nodeLength = nodeContent.length
+        if (nodeLength > 80 && ld < 0.25) append = true
+        else if (nodeLength < 80 && ld == 0.0 && sentenceEnd(nodeContent))
+          append = true
+      }
+      if (append) article.append(sibling)
+    }
+    article
+  }
+
+  private val sentenceEndRe = java.util.regex.Pattern.compile("\\.( |$)")
+  private def sentenceEnd(s: String): Boolean = sentenceEndRe.matcher(s).find()
+
+  // ---------- 2i: sanitize ----------
+
+  /** `sanitize` (readability.py:456-584). Returns the serialized,
+    * attribute-stripped article HTML. Structure of the conditional clean is
+    * replicated code-exactly, including:
+    *   - reverse document order per tag (children judged before ancestors);
+    *   - `counts["li"] -= 100`; `counts["p"] / 3` floor division;
+    *   - the sibling-text rescue block being nested INSIDE the `<embed>`
+    *     elif branch (readability.py:523-570 — its 16-space indentation puts
+    *     it in that suite), with the `i =+ 1` typo making it sample exactly
+    *     one non-empty sibling per direction;
+    *   - the parent-score reassignment at readability.py:488-493 being dead
+    *     (only feeds logging).
+    */
+  def sanitize(node: Node, candidates: mutable.LinkedHashMap[Node, Double],
+      opts: ExtractOptions): String = {
+    for (tag <- Seq("h1", "h2", "h3", "h4", "h5", "h6");
+         header <- node.findAll(tag)) {
+      if (classWeight(header) < 0 || linkDensity(header) > 0.33)
+        header.dropTree()
+    }
+    for (tag <- Seq("form", "iframe", "textarea"); el <- node.findAll(tag))
+      el.dropTree()
+
+    val allowed = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Node, java.lang.Boolean]())
+
+    for (tag <- Seq("table", "ul", "div");
+         el <- node.findAll(tag).reverseIterator) {
+      if (!allowed.contains(el)) {
+        val weight = classWeight(el)
+        val contentScore = candidates.getOrElse(el, 0.0)
+
+        if (weight + contentScore < 0) {
+          el.dropTree()
+        } else if (countCommas(el.textContent) < 10) {
+          val pCount = el.findAll("p").length
+          val imgCount = el.findAll("img").length
+          val liCount = el.findAll("li").length - 100
+          val inputCount = el.findAll("input").length
+          val embedCount = el.findAll("embed").length
+          val contentLength = textLength(el)
+          val ld = linkDensity(el)
+
+          var toRemove = false
+          if (pCount > 0 && imgCount > pCount) toRemove = true
+          else if (liCount > pCount && tag != "ul" && tag != "ol") toRemove = true
+          else if (inputCount > floorDiv(pCount, 3)) toRemove = true
+          else if (contentLength < opts.minTextLength &&
+            (imgCount == 0 || imgCount > 2)) toRemove = true
+          else if (weight < 25 && ld > 0.2) toRemove = true
+          else if (weight >= 25 && ld > 0.5) toRemove = true
+          else if ((embedCount == 1 && contentLength < 75) || embedCount > 1) {
+            toRemove = true
+            // sibling-text rescue — nested in this branch only (see note)
+            var followingLen = -1
+            val itF = el.siblingsAfter
+            while (followingLen < 0 && itF.hasNext) {
+              val l = textLength(itF.next())
+              if (l > 0) followingLen = l
+            }
+            var precedingLen = -1
+            val itP = el.siblingsBefore
+            while (precedingLen < 0 && itP.hasNext) {
+              val l = textLength(itP.next())
+              if (l > 0) precedingLen = l
+            }
+            val sum = math.max(followingLen, 0) + math.max(precedingLen, 0)
+            if ((followingLen > 0 || precedingLen > 0) && sum > 1000) {
+              toRemove = false
+              for (t <- Seq("table", "ul", "div"); des <- el.findAll(t))
+                allowed.add(des)
+            }
+          }
+
+          if (toRemove) el.dropTree()
+        }
+      }
+    }
+    val serialized = Serializer.serialize(node)
+    Cleaners2.cleanAttributesString(serialized)
+  }
+
+  /** Python 2 `/` on ints floors toward negative infinity. */
+  private def floorDiv(a: Int, b: Int): Int = Math.floorDiv(a, b)
+
+  // ---------- 2j: get_article retry loop ----------
+
+  /** `get_article` (readability.py:631-673) — ruthless pass, then on low
+    * yield one lenient retry ON THE SAME MUTATED DOC (the best-candidate
+    * region has already been MOVED into the discarded article; the retry
+    * scores the remainder — replicated exactly). */
+  def getArticle(doc: Node, opts: ExtractOptions): Summary = {
+    try {
+      var ruthless = true
+      while (true) {
+        doc.findAll("script").foreach(_.dropTree())
+        doc.findAll("style").foreach(_.dropTree())
+        doc.findAll("body").foreach(_.setAttr("id", "readabilityBody"))
+        if (ruthless) removeUnlikelyCandidates(doc)
+        transformDoubleBreaks(doc)
+        transformMisusedDivs(doc)
+        val candidates = scoreParagraphs(doc)
+        val best = selectBestCandidate(candidates)
+        if (best == null) {
+          if (ruthless) { ruthless = false }
+          else return Summary(0.0, null, "", Array.empty, failed = false)
+        } else {
+          val confidence = best.score
+          val article = getRawArticle(candidates, best)
+          val cleanedArticleHtml = sanitize(article, candidates, opts)
+          // reference reparses the sanitized string (fragment_fromstring →
+          // tounicode); for us serialize∘parse is the identity on this
+          // output, so the string is used directly
+          val acceptable = cleanedArticleHtml.length >= opts.retryLength
+          if (ruthless && !acceptable) { ruthless = false }
+          else {
+            val cleanedDoc = HtmlParser.parseFragment(cleanedArticleHtml)
+            val (text, spans) = extractTextAndSpans(cleanedDoc)
+            return Summary(confidence, cleanedArticleHtml, text, spans, failed = false)
+          }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } catch {
+      case e: UnparseableException => throw e
+      case scala.util.control.NonFatal(e) => throw new UnparseableException(String.valueOf(e))
+    }
+  }
+
+  // ---------- engine addition: text + spans ----------
+
+  /** Builds the normalized extracted text (equal to
+    * `normalize_spaces(textContent)`) while recording, for each top-level
+    * block of the article, its (start, end) character span — the engine's
+    * span addition (north star; FIXTURES.md §4). */
+  def extractTextAndSpans(article: Node): (String, Array[(Int, Int)]) = {
+    val sb = new java.lang.StringBuilder
+    var pendingSpace = false
+    def add(s: String): Unit = {
+      if (s == null) return
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Cleaners.pyIsSpace(c)) { if (sb.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+    }
+    def walk(n: Node): Unit = {
+      if (n.isElement && n.text != null) add(n.text)
+      n.children.foreach { c =>
+        walk(c)
+        if (c.tail != null) add(c.tail)
+      }
+    }
+    val spans = new mutable.ArrayBuffer[(Int, Int)]
+    if (article.isElement && article.text != null) add(article.text)
+    article.children.foreach { c =>
+      val start0 = sb.length + (if (pendingSpace) 1 else 0)
+      walk(c)
+      val end = sb.length
+      if (end > start0) spans += ((start0, end))
+      if (c.tail != null) add(c.tail)
+    }
+    (sb.toString, spans.toArray)
+  }
+
+  // ---------- link absolutization (htmls.py:130-134) ----------
+
+  private val urlAttrs = List("href", "src", "action", "background", "cite",
+    "poster", "usemap", "longdesc")
+
+  /** lxml `resolve_base_href()`: apply `<base href>` to all links, then
+    * drop the base tags. */
+  def resolveBaseHref(doc: Node): Unit = {
+    val bases = doc.findAll("base")
+    val baseHref = bases.collectFirst {
+      case b if b.attr("href") != null && b.attr("href").nonEmpty => b.attr("href")
+    }
+    bases.foreach(_.dropTree())
+    baseHref.foreach(b => rewriteLinks(doc, u => PyUrl.urljoin(b, u)))
+  }
+
+  /** lxml `make_links_absolute(url, resolve_base_href=True)`. */
+  def makeLinksAbsolute(doc: Node, url: String): Unit = {
+    resolveBaseHref(doc)
+    rewriteLinks(doc, u => PyUrl.urljoin(url, u))
+  }
+
+  private def rewriteLinks(doc: Node, f: String => String): Unit = {
+    doc.iterSubtree.foreach { n =>
+      if (n.isElement && n.hasAttrs) {
+        urlAttrs.foreach { a =>
+          val v = n.attr(a)
+          if (v != null && v.nonEmpty) {
+            try n.setAttr(a, f(v))
+            catch { case scala.util.control.NonFatal(_) => }
+          }
+        }
+      }
+    }
+  }
+}
+
+/** String-level `clean_attributes` (/root/reference/readability/cleaners.py:5-20)
+  * applied to serialized HTML exactly like the reference (regex loop to
+  * fixpoint), preserving its quirks: only *valued*, space-preceded
+  * attributes are stripped; `on*` means `o` followed by `n`s; empty
+  * quoted values survive. */
+object Cleaners2 {
+  private val htmlstrip = java.util.regex.Pattern.compile(
+    "<" +
+      "([^>]+) " +
+      "(?:width|height|style|[-a-z]*color|background[-a-z]*|on*) *" +
+      "= *(?:[^ \"'>]+|'[^']+'|\"[^\"]+\")" +
+      "([^>]*)" +
+      ">",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def cleanAttributesString(html: String): String = {
+    var h = html
+    var m = htmlstrip.matcher(h)
+    while (m.find()) {
+      h = m.replaceAll("<$1$2>")
+      m = htmlstrip.matcher(h)
+    }
+    h
+  }
+}
