@@ -55,6 +55,70 @@ object Extractor {
     }
   }
 
+  /** Multi-page `summary()` as it behaved when the golden fixtures were
+    * generated: page-0 extraction, then follow next-page links through the
+    * supplied fetcher, wrapping each page in
+    * `<div id="page-N" class="article-page">` under `<div id="article">`
+    * with first-paragraph duplicate suppression
+    * (/root/reference/readability/readability.py:724-749 +
+    * multi_page.py:367-401). The current reference early-returns page-0
+    * (readability.py:731-733 — the flagship [[extract]] path); the fixtures
+    * under regression_test_data/ predate both that early return and the
+    * MAX_PAGES bound (arstechnica-002's golden has 19 pages), so
+    * `maxPages` defaults to unbounded here.
+    */
+  def extractMultiPage(html: String, opts: ExtractOptions,
+      fetch: String => Option[String],
+      maxPages: Int = Int.MaxValue): Summary = {
+    try {
+      val doc = parse(html, opts.url)
+      val parsedUrls = mutable.Set.empty[String]
+      if (opts.url != null) parsedUrls += opts.url
+      // next-page detection runs on the FRESH doc, before get_article's
+      // ruthless pass removes pagination blocks and moves the article out —
+      // the same find-then-extract order append_next_page uses
+      // (multi_page.py:386-388); the goldens' 5-page chains require it
+      val nextPageUrl = Pages.findNextPageUrl(parsedUrls, opts.url, doc)
+      val page0 = getArticle(doc, opts)
+      if (page0.html == null) return page0
+      val page0Doc = HtmlParser.parseFragment(page0.html)
+      Pages.makePageElem(0, page0Doc)
+      val articleDoc = new Node("div")
+      articleDoc.setAttr("id", "article")
+      articleDoc.append(page0Doc)
+      if (nextPageUrl != null)
+        appendNextPage(parsedUrls, 1, nextPageUrl, articleDoc, opts, fetch, maxPages)
+      val outHtml = Serializer.serialize(articleDoc)
+      val (text, spans) = extractTextAndSpans(articleDoc)
+      Summary(page0.confidence, outHtml, text, spans, failed = false)
+    } catch {
+      case _: StackOverflowError => Summary(0.0, null, "", Array.empty, failed = true)
+      case scala.util.control.NonFatal(_) => Summary(0.0, null, "", Array.empty, failed = true)
+    }
+  }
+
+  /** `append_next_page` (multi_page.py:367-401). */
+  private def appendNextPage(parsedUrls: mutable.Set[String], pageIndex: Int,
+      pageUrl: String, doc: Node, opts: ExtractOptions,
+      fetch: String => Option[String], maxPages: Int): Unit = {
+    if (pageIndex >= maxPages) return
+    val html = fetch(pageUrl) match {
+      case Some(h) => h
+      case None => return // fetch failure swallowed (multi_page.py:381-385)
+    }
+    val origPageDoc = parse(html, pageUrl)
+    val nextPageUrl = Pages.findNextPageUrl(parsedUrls, pageUrl, origPageDoc)
+    val pageArticle = getArticle(origPageDoc, opts.copy(url = pageUrl))
+    if (pageArticle.html == null) return
+    val pageDoc = HtmlParser.parseFragment(pageArticle.html)
+    Pages.makePageElem(pageIndex, pageDoc)
+    if (!Pages.isSuspectedDuplicate(doc, pageDoc)) {
+      doc.append(pageDoc)
+      if (nextPageUrl != null)
+        appendNextPage(parsedUrls, pageIndex + 1, nextPageUrl, doc, opts, fetch, maxPages)
+    }
+  }
+
   /** `parse(input, url)` (/root/reference/readability/htmls.py:127-135):
     * DOM parse → Cleaner pass (P1) → link absolutization. */
   def parse(html: String, url: String = null): Node = {
@@ -274,7 +338,25 @@ object Extractor {
     appendP(elem, acc)
   }
 
-  /** `transform_double_breaks_into_paragraphs` (readability.py:310-359). */
+  /** True iff the element has two `<br>` children separated only by
+    * whitespace — i.e. the FSM would actually find a double-break after
+    * `squeeze_breaks`. */
+  def hasDoubleBreak(elem: Node): Boolean = {
+    var i = 0
+    while (i + 1 < elem.children.length) {
+      val c = elem.children(i)
+      if (c.tag == "br" && elem.children(i + 1).tag == "br" &&
+        (c.tail == null || Cleaners.strip(c.tail).isEmpty)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** `transform_double_breaks_into_paragraphs` (readability.py:310-359) —
+    * applied to every div, like the reference. Note the FSM's BLOCK_TAGS
+    * set (readability.py:262-265) lacks HTML5 elements, so an `<article>`
+    * child gets wrapped into a generated `<p>` — the goldens rely on this
+    * (slate-000's winning candidate is such a generated giant `<p>`). */
   def transformDoubleBreaks(doc: Node): Unit =
     doc.findAll("div").foreach(transformDoubleBreaksElem)
 
@@ -307,7 +389,13 @@ object Extractor {
         val grandParent = parentNode.parent
         val innerText = Cleaners.clean(elem.textContent)
         val innerTextLen = innerText.length
-        // min_text_len gate disabled (Py2 `len < None` is False)
+        // 25-char paragraph gate (readability.py:405-407). The CURRENT
+        // reference reads the never-set 'min_text_len' option (Py2
+        // `len < None` is False ⇒ gate off), but the golden corpus was
+        // generated with the gate LIVE (slate-001: short byline <p>s must
+        // not score, else div.slb-post-creds outranks the article) — the
+        // option-key typo postdates the fixtures. We follow the fixtures.
+        if (innerTextLen >= 25) {
         if (!candidates.contains(parentNode)) {
           candidates(parentNode) = scoreNode(parentNode)
           contributing += parentNode
@@ -322,6 +410,7 @@ object Extractor {
         candidates(parentNode) = candidates(parentNode) + contentScore
         if (grandParent != null)
           candidates(grandParent) = candidates(grandParent) + contentScore / 2.0
+        }
       }
     }
     // link-density scaling over the `ordered` list (readability.py:428-435)
@@ -501,16 +590,18 @@ object Extractor {
         } else {
           val confidence = best.score
           val article = getRawArticle(candidates, best)
-          val cleanedArticleHtml = sanitize(article, candidates, opts)
-          // reference reparses the sanitized string (fragment_fromstring →
-          // tounicode); for us serialize∘parse is the identity on this
-          // output, so the string is used directly
-          val acceptable = cleanedArticleHtml.length >= opts.retryLength
+          val sanitized = sanitize(article, candidates, opts)
+          // the reference REPARSES the sanitized string
+          // (fragment_fromstring → tounicode, readability.py:661-662); this
+          // matters: divs retagged <p> whose block children then pop out of
+          // the <p> on reparse (p auto-close) — visible in the goldens
+          val cleanedDoc = HtmlParser.parseFragment(sanitized)
+          val cleanedArticle = Serializer.serialize(cleanedDoc)
+          val acceptable = cleanedArticle.length >= opts.retryLength
           if (ruthless && !acceptable) { ruthless = false }
           else {
-            val cleanedDoc = HtmlParser.parseFragment(cleanedArticleHtml)
             val (text, spans) = extractTextAndSpans(cleanedDoc)
-            return Summary(confidence, cleanedArticleHtml, text, spans, failed = false)
+            return Summary(confidence, cleanedArticle, text, spans, failed = false)
           }
         }
       }
@@ -523,13 +614,28 @@ object Extractor {
 
   // ---------- engine addition: text + spans ----------
 
-  /** Builds the normalized extracted text (equal to
-    * `normalize_spaces(textContent)`) while recording, for each top-level
-    * block of the article, its (start, end) character span — the engine's
-    * span addition (north star; FIXTURES.md §4). */
+  /** Tags that do NOT force a word boundary in extracted text. Everything
+    * else (div, p, headers, list items, table cells, br, …) acts as a block
+    * boundary: a single space separates its text from neighbors. This makes
+    * extracted text robust to whether parse-level whitespace-only nodes
+    * between blocks were retained — libxml2's blank-dropping varied across
+    * the era the goldens were generated in — and is the behavior a
+    * training-data pipeline wants (no word-joins across paragraphs). The
+    * SAME function must normalize the golden fixture side. */
+  private val inlineTags: Set[String] = Set(
+    "a", "abbr", "acronym", "b", "bdi", "bdo", "big", "cite", "code", "data",
+    "del", "dfn", "em", "font", "i", "ins", "kbd", "label", "mark", "nobr",
+    "q", "rb", "rp", "rt", "ruby", "s", "samp", "small", "span", "strike",
+    "strong", "sub", "sup", "time", "tt", "u", "var", "wbr", "img")
+
+  /** Normalized extracted text (whitespace runs collapsed, block-boundary
+    * separators) with, for each top-level block of the article, its
+    * (start, end) character span — the engine's span addition (north star;
+    * FIXTURES.md §4). */
   def extractTextAndSpans(article: Node): (String, Array[(Int, Int)]) = {
     val sb = new java.lang.StringBuilder
     var pendingSpace = false
+    def boundary(): Unit = { if (sb.length > 0) pendingSpace = true }
     def add(s: String): Unit = {
       if (s == null) return
       var i = 0
@@ -544,11 +650,15 @@ object Extractor {
       }
     }
     def walk(n: Node): Unit = {
-      if (n.isElement && n.text != null) add(n.text)
+      if (!n.isElement) return
+      val isBlock = !inlineTags.contains(n.tag)
+      if (isBlock) boundary()
+      if (n.text != null) add(n.text)
       n.children.foreach { c =>
         walk(c)
         if (c.tail != null) add(c.tail)
       }
+      if (isBlock) boundary()
     }
     val spans = new mutable.ArrayBuffer[(Int, Int)]
     if (article.isElement && article.text != null) add(article.text)
@@ -561,6 +671,11 @@ object Extractor {
     }
     (sb.toString, spans.toArray)
   }
+
+  /** The normalized text of any fragment under the same rules as
+    * [[extractTextAndSpans]] — used to normalize golden fixtures
+    * identically to engine output. */
+  def normalizedText(fragment: Node): String = extractTextAndSpans(fragment)._1
 
   // ---------- link absolutization (htmls.py:130-134) ----------
 

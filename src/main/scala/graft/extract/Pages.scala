@@ -108,14 +108,20 @@ object Pages {
   /** `eval_possible_next_page_link` (multi_page.py:201-307) feature scoring,
     * followed by `find_next_page_url`'s argmax with the ≥50 threshold
     * (multi_page.py:309-337). `parsedUrls` is mutated (winner added). */
-  def findNextPageUrl(parsedUrls: mutable.Set[String], url: String,
-      elem: Node): String = {
+  /** All scored next-page candidates (debug/analysis surface). */
+  def nextPageCandidates(parsedUrls: mutable.Set[String], url: String,
+      elem: Node): mutable.LinkedHashMap[String, NextPageCandidate] = {
     val baseUrl = findBaseUrl(url)
     val candidates = mutable.LinkedHashMap.empty[String, NextPageCandidate]
-
     elem.findAll("a").foreach { link =>
       evalPossibleNextPageLink(parsedUrls, url, baseUrl, candidates, link)
     }
+    candidates
+  }
+
+  def findNextPageUrl(parsedUrls: mutable.Set[String], url: String,
+      elem: Node): String = {
+    val candidates = nextPageCandidates(parsedUrls, url, elem)
     var top: NextPageCandidate = null
     candidates.values.foreach { c =>
       if (c.score >= 50 && (top == null || top.score < c.score)) top = c
