@@ -1,0 +1,80 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: integer-exact
+  * metrics (DuckDB-oracled), language-ID heuristic, rolling-hash document
+  * fingerprinting. All whole-stage-codegen-friendly (built-in functions;
+  * the lang-id map lookup is a typed map over a tiny broadcastable table).
+  */
+object TextAnalysis {
+
+  /** Integer-exact quality metrics; every column reproducible in ANSI SQL
+    * (the DuckDB oracle in SparkEntry mirrors it 1:1). */
+  def metrics(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        expr("size(split(trim(text), ' +'))").cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        // BPE-ish token estimate: ceil(len / 4) in pure integer arithmetic
+        expr("cast(floor((length(text) + 3) / 4) as bigint)").as("token_estimate"),
+        // occurrences of ' the ' — divisible-by-5 arithmetic, exact
+        expr("cast((length(text) - length(replace(text, ' the ', ''))) / 5 as bigint)")
+          .as("the_count"))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ist", "von", "ein"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you"))
+
+  /** Language-ID heuristic: per language, the fraction of words that are
+    * that language's stopwords; argmax wins ('und' = undetermined when no
+    * stopword hits). A real corpus would use char n-gram profiles — the
+    * operator shape (per-row scoring against a tiny broadcast profile
+    * table) is the same. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    val sw = stopwords // serialized into the closure (tiny)
+    docs.map { case (id, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val total = math.max(words.length, 1)
+      val scores = sw.map { case (lang, s) =>
+        lang -> words.count(s.contains).toDouble / total
+      }
+      val best = scores.maxBy { case (l, v) => (v, l) }
+      (id, if (best._2 > 0) best._1 else "und", best._2)
+    }.toDF("doc_id", "predicted_lang", "stopword_ratio")
+  }
+
+  /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
+    * words. Deterministic pure function of the text. */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var h = 0L
+        words.foreach { w =>
+          var wh = 0L
+          var i = 0
+          while (i < w.length) { wh = (wh * 131 + w.charAt(i)) % M; i += 1 }
+          h = (mulMod(h, B, M) + wh) % M
+        }
+        (id, h, words.length)
+      }.toDF("doc_id", "fingerprint", "n_words")
+  }
+
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValue()
+}

@@ -1,0 +1,104 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Deterministic synthetic transcript table (FIXTURES.md §1) derived from
+  * the driver-provided `documents` parquet — no wall-clock, no RNG state:
+  * every value is a pure function of (doc_id, turn_idx).
+  *
+  * Assistant turns carry an HTML page built by [[htmlWrap]]: the document
+  * text as the article body surrounded by boilerplate the extractor must
+  * strip (an `unlikelyCandidates` sidebar with comment/link junk). User
+  * turns carry plain text (the extractor's no-candidate path). Conversation
+  * sizes are skewed (a few long conversations) to exercise salting.
+  */
+object TranscriptGen {
+
+  val FixedEpochMs: Long = 1700000000000L // fixed; no now()
+
+  /** Split text into ≥25-char chunks on word boundaries (so each chunk
+    * scores as a paragraph — the 25-char gate is live, SURVEY.md §1). */
+  def chunks(text: String): Seq[String] = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    words.foreach { w =>
+      if (sb.nonEmpty) sb.append(' ')
+      sb.append(w)
+      if (sb.length >= 40) { out += sb.toString; sb.clear() }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Deterministic article page. The extractor must return exactly
+    * `Heading <docId> <normalized text>`:
+    *  - the sidebar div matches unlikelyCandidatesRe and is dropped whole
+    *    (it is the first unlikely element, so the iterator quirk removes
+    *    all junk in one shot);
+    *  - the content div's class matches positiveRe and wins the candidate
+    *    ranking through its ≥25-char paragraphs;
+    *  - the trailing promo div never qualifies for the sibling merge. */
+  def htmlWrap(docId: Long, text: String): String = {
+    val ps = chunks(text).map(c => s"<p>${escape(c)}</p>").mkString
+    s"""<html><head><title>Doc $docId | Graft Corpus</title></head><body>""" +
+      s"""<div id="wrap">""" +
+      s"""<div class="sidebar"><div class="comment">reply share e-mail</div>""" +
+      s"""<ul class="menu"><li><a href="/a">one</a></li><li><a href="/b">two</a></li></ul></div>""" +
+      s"""<div class="article-content"><h1>Heading $docId</h1>$ps</div>""" +
+      s"""<div class="promo"><a href="/x">click</a> <a href="/y">here</a></div>""" +
+      s"""</div></body></html>"""
+  }
+
+  /** Conversation id for a document: skewed sizes — conversation k holds
+    * documents [k², (k+1)²), so conversation k has 2k+1 documents. */
+  def convOf(docId: Long): String = {
+    val k = math.sqrt(docId.toDouble).toLong
+    f"conv-$k%05d"
+  }
+
+  /** The transcript table: `turnsPerDoc` turns per source document
+    * (volume multiplier for the bench; 1 for correctness queries). */
+  def turns(spark: SparkSession, sfDir: String, turnsPerDoc: Int = 1): Dataset[Turn] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+      .as[(Long, String)]
+    docs.flatMap { case (docId, text) =>
+      (0 until turnsPerDoc).map { i =>
+        val role = if (i % 3 == 1) "user" else "assistant"
+        val payload =
+          if (role == "assistant") htmlWrap(docId, text)
+          else text // plain text: parses to a DOM with no candidates
+        Turn(
+          conv_id = convOf(docId),
+          turn_idx = (docId % 1000).toInt * turnsPerDoc + i,
+          role = role,
+          text = payload,
+          tool = if (i % 5 == 4) "browser" else "",
+          ts = new Timestamp(FixedEpochMs + docId * 1000L + i))
+      }
+    }
+  }
+
+  /** One HTML turn per document, keyed so `doc_id` is recoverable —
+    * the oracle-checked roundtrip input (doc_id = turn_idx since each
+    * conversation's docs are consecutive). */
+  def roundtripTurns(spark: SparkSession, sfDir: String, minChars: Int): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .where(col("n_chars") >= minChars)
+      .as[(Long, String, Long)]
+      .map { case (docId, text, _) =>
+        Turn(convOf(docId), docId.toInt, "assistant", htmlWrap(docId, text),
+          "", new Timestamp(FixedEpochMs + docId * 1000L))
+      }
+  }
+}
