@@ -1,24 +1,67 @@
 package graft
+
+import graft.spark.{ExtractJob, TranscriptGen}
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and reports the headline extraction throughput
+  * (turns/sec — BASELINE.md's metric) on a volume-multiplied transcript
+  * table. One JSON line on stdout. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RAM-backed shuffle dir: the sandbox's disk is the noisiest shared
+      // resource; a real cluster has provisioned shuffle disks
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark
+  }
+
+  /** Extraction throughput: turns/sec over turnsPerDoc× the documents
+    * table through the full bucketed ExtractJob. */
+  def extractionThroughput(spark: SparkSession, sfDir: String,
+      turnsPerDoc: Int, buckets: Int): (Long, Double) = {
+    val turns = TranscriptGen.turns(spark, sfDir, turnsPerDoc)
+    val t0 = System.nanoTime()
+    val n = ExtractJob.run(spark, turns, buckets).extracted
+      .filter(_.extracted_text != null).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = session(cpus)
+
+    // warmup: JIT + codegen + parquet footer caches
+    extractionThroughput(spark, sfDir, turnsPerDoc = 1, buckets = cpus.toInt)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val (turns, extractSec) =
+      extractionThroughput(spark, sfDir, turnsPerDoc = 20, buckets = cpus.toInt * 4)
+    val turnsPerSec = turns / extractSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"extracted turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
+        s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
+        s""""extract_turns":$turns,"extract_sec":${f"$extractSec%.3f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -136,4 +136,129 @@ object Cleaners {
     while (b > a && pyIsSpace(s.charAt(b - 1))) b -= 1
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
+
+  /** Zero-allocation `clean(textContent).length` over a DOM subtree —
+    * the extraction hot path calls text_length per node per decision
+    * (scoring, link density, sanitize); building the subtree string and
+    * running two regexes each time dominates the garbage profile. This
+    * streams the subtree's text pieces through a normalizer with exactly
+    * `clean`'s semantics: an ASCII-whitespace run containing '\n' → one
+    * unit; each maximal [ \t] subrun → one unit; \r \f \x0B pass through;
+    * unicode-stripped at both ends. Property-tested equal to
+    * `clean(textContent).length`. */
+  final class CleanLengthCounter {
+    private var length = 0
+    private var trailingWs = 0
+    private var leadingDone = false
+    // pending ASCII-ws run state
+    private var runUnits = 0
+    private var runHasNl = false
+    private var inTabSpace = false
+
+    @inline private def isAsciiWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+    private def flushRun(): Unit = {
+      if (runUnits > 0 || runHasNl) {
+        val k = if (runHasNl) 1 else runUnits
+        if (leadingDone) { length += k; trailingWs += k }
+        runUnits = 0
+        runHasNl = false
+        inTabSpace = false
+      }
+    }
+
+    def accept(s: String): Unit = {
+      if (s == null) return
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (isAsciiWs(c)) {
+          if (c == '\n') { runHasNl = true; inTabSpace = false }
+          else if (c == ' ' || c == '\t') {
+            if (!inTabSpace) { runUnits += 1; inTabSpace = true }
+          } else { // \r \f \x0B pass through individually
+            runUnits += 1
+            inTabSpace = false
+          }
+        } else {
+          flushRun()
+          if (pyIsSpace(c)) { // unicode whitespace: kept by clean, stripped at ends
+            if (leadingDone) { length += 1; trailingWs += 1 }
+          } else {
+            leadingDone = true
+            length += 1
+            trailingWs = 0
+          }
+        }
+        i += 1
+      }
+    }
+
+    def result: Int = length - trailingWs // pending ws run never counts at EOF
+  }
+
+  /** Streaming `len(clean(node.text_content()))` (readability.py:44-45). */
+  def cleanLength(n: Node): Int = {
+    val c = new CleanLengthCounter
+    def walk(x: Node): Unit = {
+      if (x.isElement && x.text != null) c.accept(x.text)
+      var i = 0
+      while (i < x.children.length) {
+        val ch = x.children(i)
+        walk(ch)
+        if (ch.tail != null) c.accept(ch.tail)
+        i += 1
+      }
+    }
+    walk(n)
+    c.result
+  }
+
+  /** Streaming comma count of `node.text_content()`, early-exits at `cap`
+    * (sanitize only tests `< 10`, readability.py:480). */
+  def commasAtLeast(n: Node, cap: Int): Boolean = {
+    var count = 0
+    def countIn(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ',') { count += 1; if (count >= cap) return true }
+        i += 1
+      }
+      false
+    }
+    def walk(x: Node): Boolean = {
+      if (x.isElement && x.text != null && countIn(x.text)) return true
+      var i = 0
+      while (i < x.children.length) {
+        val ch = x.children(i)
+        if (walk(ch)) return true
+        if (ch.tail != null && countIn(ch.tail)) return true
+        i += 1
+      }
+      false
+    }
+    walk(n)
+  }
+
+  /** Streaming exact comma count over a subtree. */
+  def countCommas(n: Node): Int = {
+    var count = 0
+    def countIn(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { if (s.charAt(i) == ',') count += 1; i += 1 }
+    }
+    def walk(x: Node): Unit = {
+      if (x.isElement && x.text != null) countIn(x.text)
+      var i = 0
+      while (i < x.children.length) {
+        val ch = x.children(i)
+        walk(ch)
+        if (ch.tail != null) countIn(ch.tail)
+        i += 1
+      }
+    }
+    walk(n)
+    count
+  }
 }

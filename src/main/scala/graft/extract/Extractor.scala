@@ -131,8 +131,9 @@ object Extractor {
 
   // ---------- scalar helpers ----------
 
-  /** `text_length` (readability.py:44-45). */
-  def textLength(n: Node): Int = Cleaners.clean(n.textContent).length
+  /** `text_length` (readability.py:44-45) — streaming, zero-allocation
+    * (hot path: called per node per decision). */
+  def textLength(n: Node): Int = Cleaners.cleanLength(n)
 
   /** `class_weight` (readability.py:47-63). */
   def classWeight(e: Node): Int = {
@@ -387,8 +388,7 @@ object Extractor {
       val parentNode = elem.parent
       if (parentNode != null) {
         val grandParent = parentNode.parent
-        val innerText = Cleaners.clean(elem.textContent)
-        val innerTextLen = innerText.length
+        val innerTextLen = Cleaners.cleanLength(elem)
         // 25-char paragraph gate (readability.py:405-407). The CURRENT
         // reference reads the never-set 'min_text_len' option (Py2
         // `len < None` is False ⇒ gate off), but the golden corpus was
@@ -405,7 +405,8 @@ object Extractor {
           contributing += grandParent
         }
         var contentScore = 1.0
-        contentScore += countCommas(innerText) + 1 // len(split(','))
+        // commas survive clean() unchanged: count them streaming on the tree
+        contentScore += Cleaners.countCommas(elem) + 1 // len(split(','))
         contentScore += math.min(innerTextLen / 100, 3) // Py2 floor div
         candidates(parentNode) = candidates(parentNode) + contentScore
         if (grandParent != null)
@@ -515,7 +516,7 @@ object Extractor {
 
         if (weight + contentScore < 0) {
           el.dropTree()
-        } else if (countCommas(el.textContent) < 10) {
+        } else if (!Cleaners.commasAtLeast(el, 10)) {
           val pCount = el.findAll("p").length
           val imgCount = el.findAll("img").length
           val liCount = el.findAll("li").length - 100

@@ -67,8 +67,12 @@ object TranscriptGen {
     * (volume multiplier for the bench; 1 for correctness queries). */
   def turns(spark: SparkSession, sfDir: String, turnsPerDoc: Int = 1): Dataset[Turn] = {
     import spark.implicits._
+    // the source parquet is a single small file (one scan task); spread the
+    // docs first so HTML generation runs at full parallelism — a bench-input
+    // artifact only (a real 10^12-turn table scans parallel by itself)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, String)]
     docs.flatMap { case (docId, text) =>
       (0 until turnsPerDoc).map { i =>
