@@ -20,14 +20,17 @@ object ScalingBench {
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
     val turnsPerDoc = sys.env.getOrElse("SPARK_GRAFT_TPD", "20").toInt
 
+    // global JIT warmup: one full-size run before ANY measurement, so
+    // neither config benefits from compilation the other paid for
+    locally {
+      val spark = Bench.session((4 * n).toString)
+      Bench.extractionThroughput(spark, sfDir, turnsPerDoc, buckets = 16 * n)
+      spark.stop()
+    }
+
     def runAt(cores: Int): (Long, Double, Long) = {
       val spark = Bench.session(cores.toString)
-      // warmup at small volume, then measure twice and keep the faster run
-      // (C2 JIT compilation of the extraction loop otherwise biases the
-      // second session)
-      Bench.extractionThroughput(spark, sfDir, turnsPerDoc = 2, buckets = cores)
-      // measure 3×, keep the fastest (shared machine; C2 JIT warms during
-      // the first full run)
+      // measure 3×, keep the fastest (shared noisy machine)
       val runs = (1 to 3).map { _ =>
         Bench.extractionThroughput(spark, sfDir, turnsPerDoc, buckets = cores * 4)
       }

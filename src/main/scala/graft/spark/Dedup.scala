@@ -52,10 +52,23 @@ object Dedup {
       .select("doc_id", "sig")
 
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded0 = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, $bands - 1), b -> " +
           s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band_idx", "band_hash")))
+
+    // hot-bucket cap: a bucket holding a large fraction of the corpus is a
+    // degenerate signature (boilerplate/near-empty docs) and would make the
+    // self-join quadratic — standard LSH practice is to drop such buckets
+    // (at 100 TB this is the difference between a join and an outage)
+    val maxBucket = 64
+    val bucketSizes = banded0.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+    // plain equi-join (bucket list is O(docs) — not broadcastable at scale;
+    // AQE picks broadcast when it actually fits)
+    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash"))
+      .drop("bsz")
 
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
