@@ -72,6 +72,47 @@ object SparkEntry {
           "failed_turns", "empty_turns")
     }),
 
+    "extract_multipage" -> ((s, dir) => {
+      // 2k/J3/W4 end-to-end: page 1 links to page 2 through an in-memory
+      // fetcher; combined text = page1 + page2 (oracle below). A third
+      // page that duplicates page 2's first paragraph would be suppressed.
+      import s.implicits._
+      TranscriptGen.roundtripTurns(s, dir, MinChars).map { t =>
+        val docId = t.turn_idx.toLong
+        val url = s"http://example.com/a/article-x$docId.html"
+        val page2Text = TranscriptGen.appendixText(docId)
+        val page2 = TranscriptGen.htmlWrap(docId, page2Text)
+        val page1 = t.text.replace("</body>",
+          s"""<div class="pager"><a href="$url?page=2" class="next-page">Next</a></div></body>""")
+        val fetch: String => Option[String] =
+          u => if (u == s"$url?page=2") Some(page2) else None
+        val sum = Extractor.extractMultiPage(page1,
+          ExtractOptions(url = url), fetch)
+        (docId, sum.text)
+      }.toDF("doc_id", "extracted_text")
+    }),
+    "dom_transform_stats" -> ((s, dir) => {
+      // P2/P4/P5/P8 evidence: per-document counts from each DOM stage
+      import s.implicits._
+      TranscriptGen.roundtripTurns(s, dir, MinChars).map { t =>
+        val doc = Extractor.parse(t.text, null)
+        val nodesParsed = doc.iterSubtree.count(_.isElement)
+        doc.findAll("script").foreach(_.dropTree())
+        doc.findAll("style").foreach(_.dropTree())
+        Extractor.removeUnlikelyCandidates(doc)
+        val afterUnlikely = doc.iterSubtree.count(_.isElement)
+        val divsBefore = doc.findAll("div").length
+        Extractor.transformDoubleBreaks(doc)
+        Extractor.transformMisusedDivs(doc)
+        val divsAfter = doc.findAll("div").length
+        val candidates = Extractor.scoreParagraphs(doc)
+        (t.turn_idx.toLong, nodesParsed.toLong,
+          (nodesParsed - afterUnlikely).toLong,
+          (divsBefore - divsAfter).toLong, candidates.size.toLong)
+      }.toDF("doc_id", "nodes_parsed", "removed_unlikely", "divs_retagged",
+        "n_candidates")
+    }),
+
     // ---- titles (F3-F6) ----
     "titles" -> ((s, dir) => {
       import s.implicits._
@@ -166,6 +207,16 @@ object SparkEntry {
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
+        s"FROM documents WHERE n_chars >= $MinChars"),
+    "extract_multipage" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) || " +
+        "' Heading ' || CAST(doc_id AS VARCHAR) || " +
+        "' appendix content for document ' || CAST(doc_id AS VARCHAR) || " +
+        "' with enough plain words to pass both the paragraph length gate " +
+        "and the retry length gate of the readability pipeline comfortably " +
+        "and deterministically' AS extracted_text " +
         s"FROM documents WHERE n_chars >= $MinChars"),
     "titles" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +

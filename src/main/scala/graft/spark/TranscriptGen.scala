@@ -56,6 +56,14 @@ object TranscriptGen {
       s"""</div></body></html>"""
   }
 
+  /** Deterministic "page 2" body for the multi-page oracle — fixed form so
+    * the expected combined text is plain SQL. Long enough to clear the
+    * 25-char paragraph gate and the 250-char retry gate. */
+  def appendixText(docId: Long): String =
+    s"appendix content for document $docId with enough plain words to pass " +
+      "both the paragraph length gate and the retry length gate of the " +
+      "readability pipeline comfortably and deterministically"
+
   /** Conversation id for a document: skewed sizes — conversation k holds
     * documents [k², (k+1)²), so conversation k has 2k+1 documents. */
   def convOf(docId: Long): String = {
