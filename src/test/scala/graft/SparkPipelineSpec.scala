@@ -1,0 +1,90 @@
+package graft
+
+import graft.spark.{ExtractJob, TranscriptGen}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integration spec for the distributed pipeline at tiny scale:
+  * correctness of the end-to-end extraction over the bucketed
+  * mapPartitions job, determinism across runs, lineage accounting, and
+  * resume-ledger semantics. */
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("roundtrip: extraction of wrapped docs returns the source text") {
+    val s = spark
+    import s.implicits._
+    val rows = SparkEntry.queries("extract_roundtrip")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect()
+      .filter(_._3 >= 250)
+    assert(rows.size == docs.length)
+    docs.foreach { case (id, text, _) =>
+      val expected = s"Heading $id " + text.trim.replaceAll("\\s+", " ")
+      assert(rows(id) == expected, s"doc $id")
+    }
+  }
+
+  test("extraction job is deterministic across runs and bucket counts") {
+    val s = spark
+    import s.implicits._
+    def digest(buckets: Int): Seq[(String, Int, String)] =
+      ExtractJob.run(spark, TranscriptGen.turns(spark, sfDir, 2), buckets)
+        .extracted
+        .map(r => (r.conv_id, r.turn_idx, String.valueOf(r.extracted_text)))
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = digest(4)
+    val b = digest(16)
+    assert(a == b)
+  }
+
+  test("lineage rows account for every turn") {
+    val turns = TranscriptGen.turns(spark, sfDir, 2)
+    val total = turns.count()
+    val res = ExtractJob.run(spark, turns, numBuckets = 8, fingerprint = "t")
+    res.extracted.count()
+    val rows = res.lineageRows
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.extracted_turns + r.failed_turns + r.empty_turns).sum == total)
+    assert(rows.map(_.bucket).distinct.size == rows.size)
+    // user turns are plain text → no candidates → empty (confidence-0) path
+    assert(rows.map(_.empty_turns).sum > 0)
+    assert(rows.map(_.extracted_turns).sum > 0)
+  }
+
+  test("resume ledger: second run processes nothing new") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val out = s"$dir/out"
+    val ledger = s"$dir/ledger"
+    val turns = TranscriptGen.turns(spark, sfDir, 1)
+    val fp = ExtractJob.inputFingerprint(spark, s"$sfDir/documents.parquet")
+    val l1 = ExtractJob.runResumable(spark, turns, 8, fp, out, ledger)
+    assert(l1.nonEmpty)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == turns.count())
+    // resume: every bucket is ledgered → no work, no new output
+    val l2 = ExtractJob.runResumable(spark, turns, 8, fp, out, ledger)
+    assert(l2.isEmpty)
+    assert(spark.read.parquet(out).count() == n1)
+    // a different input fingerprint reprocesses everything
+    val l3 = ExtractJob.runResumable(spark, turns, 8, fp + "-v2", out, ledger)
+    assert(l3.nonEmpty)
+  }
+}
