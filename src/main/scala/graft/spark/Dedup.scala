@@ -1,21 +1,25 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline, over the
-  * `documents` table. All declarative DataFrame plans: Catalyst handles
-  * pushdown/pruning; the only shuffles are the groupBys/joins on the
-  * dedup keys themselves.
+  * `documents` table.
+  *
+  * Design split: signature KERNELS (minhash/simhash/gram hashing) run in
+  * typed JVM maps — Catalyst higher-order functions never enter
+  * whole-stage codegen, and interpreted per-shingle expression trees are
+  * ~100× slower than a tight JVM loop; the JOINS and AGGREGATIONS stay
+  * relational (band equi-joins, hash aggregates) so Catalyst/AQE own the
+  * distribution, skew handling and pushdown.
   *
   * Scale notes (100 TB): exact dedup is one hash-aggregate on md5(text)
   * (map-side partial aggregation collapses duplicates before the
-  * exchange). MinHash/SimHash banding turns all-pairs similarity into
-  * equi-joins on small band keys — candidate pairs only, never n². Skewed
-  * bands (e.g. empty-text clusters) are handled by AQE skew-join; the band
-  * join keys include the band index so one hot signature spreads over
-  * `bands` keys.
+  * exchange). Banding turns all-pairs similarity into equi-joins on band
+  * keys — candidate pairs only, never n². Degenerate hot buckets
+  * (boilerplate signatures shared by a large corpus fraction) are dropped
+  * by a size cap before the self-join: at scale that is the difference
+  * between a join and an outage.
   */
 object Dedup {
 
@@ -26,49 +30,88 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
   }
 
-  /** MinHash signatures + LSH banding.
-    *
-    * Pipeline: word-3-shingles → k minhashes (xxhash64 with per-hash seed
-    * column, min-aggregated per doc) → group minhashes into bands → explode
-    * bands → self-join on (band_idx, band_hash) → candidate pairs with
-    * estimated Jaccard = fraction of matching minhashes.
-    */
+  // splitmix64 — deterministic, seed-free mixing for all signature kernels
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def wordHashes(text: String): Array[Long] = {
+    val words = text.split("\\s+")
+    val out = new Array[Long](words.length)
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var h = 1125899906842597L
+        var j = 0
+        while (j < w.length) { h = 31 * h + w.charAt(j); j += 1 }
+        out(n) = mix64(h)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Word-3-shingle hashes. */
+  private def shingleHashes(text: String): Array[Long] = {
+    val wh = wordHashes(text)
+    if (wh.length < 3) return Array.empty
+    val out = new Array[Long](wh.length - 2)
+    var i = 0
+    while (i + 2 < wh.length) {
+      out(i) = mix64(wh(i) ^ java.lang.Long.rotateLeft(wh(i + 1), 21) ^
+        java.lang.Long.rotateLeft(wh(i + 2), 42))
+      i += 1
+    }
+    out
+  }
+
+  private val MaxBucket = 64
+
+  /** MinHash signatures + LSH banding: word-3-shingles → k minhashes →
+    * bands → band equi-join → candidate pairs with matching-minhash
+    * count. */
   def minhashLsh(spark: SparkSession, sfDir: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
-      // word 3-gram shingle strings
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, greatest(size(words) - 3, 0) - 1), " +
-          "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))").as("shingles"))
-      .where(size(col("shingles")) > 0)
-
-    // signature: for each seed, min over shingles of xxhash64(shingle, seed)
-    val sigCols = (0 until numHashes).map { s =>
-      expr(s"array_min(transform(shingles, sh -> xxhash64(sh, $s)))").as(s"mh$s")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh$i")): _*))
-      .select("doc_id", "sig")
-
+    import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val banded0 = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, $bands - 1), b -> " +
-          s"hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as(Seq("band_idx", "band_hash")))
+    // kernel: per doc, signature and band hashes in one pass
+    val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shingleHashes(text)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = new Array[Long](numHashes)
+          var s = 0
+          while (s < numHashes) {
+            var m = Long.MaxValue
+            var i = 0
+            while (i < sh.length) {
+              val h = mix64(sh(i) ^ (s * 0xd6e8feb86659fd93L))
+              if (h < m) m = h
+              i += 1
+            }
+            sig(s) = m
+            s += 1
+          }
+          (0 until bands).iterator.map { b =>
+            var bh = 0L
+            var r = 0
+            while (r < rowsPerBand) { bh = mix64(bh ^ sig(b * rowsPerBand + r)); r += 1 }
+            (id, sig, b, bh)
+          }
+        }
+      }.toDF("doc_id", "sig", "band_idx", "band_hash")
 
-    // hot-bucket cap: a bucket holding a large fraction of the corpus is a
-    // degenerate signature (boilerplate/near-empty docs) and would make the
-    // self-join quadratic — standard LSH practice is to drop such buckets
-    // (at 100 TB this is the difference between a join and an outage)
-    val maxBucket = 64
     val bucketSizes = banded0.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBucket)
-    // plain equi-join (bucket list is O(docs) — not broadcastable at scale;
-    // AQE picks broadcast when it actually fits)
-    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash"))
-      .drop("bsz")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
+    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash")).drop("bsz")
 
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -82,26 +125,38 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash near-dup detection: per word, xxhash64; sum ±1 per bit
-    * weighted by term frequency; near-dups = pairs sharing a 16-bit band of
-    * the fingerprint with Hamming distance ≤ 3 overall. */
+  /** 64-bit SimHash near-dup detection: per-word hash ±1 votes per bit;
+    * candidates share a 16-bit band; near-dups have Hamming ≤ 6. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), split(col("text"), "\\s+").as("words"))
-      .where(size(col("words")) > 0)
+    import spark.implicits._
+    val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val wh = wordHashes(text)
+        if (wh.isEmpty) Iterator.empty
+        else {
+          val votes = new Array[Int](64)
+          var i = 0
+          while (i < wh.length) {
+            val h = wh(i)
+            var bit = 0
+            while (bit < 64) {
+              if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
+              bit += 1
+            }
+            i += 1
+          }
+          var fp = 0L
+          var bit = 0
+          while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+          (0 until 4).iterator.map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
+        }
+      }.toDF("doc_id", "fp", "band_idx", "band")
 
-    // fingerprint: for each of 64 bits, majority vote over word hashes
-    val fp = docs.withColumn("hashes", expr("transform(words, w -> xxhash64(w))"))
-      .withColumn("fp", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, bit) -> " +
-          "acc + if(aggregate(hashes, 0L, (s, h) -> s + if(shiftright(h, bit) % 2 != 0, 1L, -1L)) > 0, " +
-          "shiftleft(1L, bit), 0L))"))
-      .select("doc_id", "fp")
+    val bandSizes = banded0.groupBy("band_idx", "band")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
+    val banded = banded0.join(bandSizes, Seq("band_idx", "band")).drop("bsz")
 
-    // band on 4×16-bit chunks; pairs agreeing on any band are candidates
-    val banded = fp.select(col("doc_id"), col("fp"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535)")).as(Seq("band_idx", "band")))
     val a = banded.select(col("band_idx"), col("band"),
       col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band_idx"), col("band"),
@@ -114,25 +169,41 @@ object Dedup {
       .where(col("hamming") <= 6)
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs, blocked by
-    * `source` (blocking keeps the join linear-ish; at scale the blocking
-    * key is a cheap signature, not a full cross join). */
+  /** Exact n-gram Jaccard via an inverted index: explode distinct gram
+    * hashes, drop hot grams (stopword-like shingles shared by a large
+    * corpus fraction — they only generate noise pairs), self-join on the
+    * gram, count shared grams per pair with a hash aggregate, then
+    * Jaccard = shared / (|A| + |B| − shared). No arrays cross the join —
+    * the pair stream is (doc_a, doc_b) keys only, map-side combined.
+    * This is the formulation that survives 100 TB. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("source"),
-        split(col("text"), "\\s+").as("words"))
-      .select(col("doc_id"), col("source"), expr(
-        s"array_distinct(transform(sequence(0, greatest(size(words) - $n, 0) - 1), " +
-          s"i -> concat_ws(' ', slice(words, i + 1, $n))))").as("grams"))
+    import spark.implicits._
+    val docGrams = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, shingleHashes(text).distinct) }
+      .toDF("doc_id", "grams")
       .where(size(col("grams")) > 0)
 
-    val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    a.join(b, "source")
+    val sizes = docGrams.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val posting = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val rare = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxBucket)
+    val filtered = posting.join(rare, "gram").drop("df")
+
+    val shared = filtered.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(filtered.select(col("gram"), col("doc_id").as("doc_b")), "gram")
       .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
       .where(col("jaccard") > 0.2)
   }
 }
