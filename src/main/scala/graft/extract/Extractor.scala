@@ -5,12 +5,14 @@ import graft.dom.{HtmlParser, Node, Serializer}
 import scala.collection.mutable
 
 /** Extraction options — the live option keys of the reference
-  * (/root/reference/readability/readability.py:690-706). Note the reference's
-  * scoring-stage paragraph-length gate (`min_text_len`,
-  * readability.py:406) is a never-defaulted option: Py2 `len < None` is
-  * always False, so that gate is effectively OFF while `min_text_length`=25
-  * stays live in sanitize (readability.py:514). We replicate the bug because
-  * the golden fixtures were generated with it live (SURVEY.md §1).
+  * (/root/reference/readability/readability.py:690-706).
+  *
+  * Scoring-gate note: the CURRENT reference reads the never-set
+  * `min_text_len` option at readability.py:406 (Py2 `len < None` is always
+  * False ⇒ gate off), but the golden fixture corpus was generated when the
+  * 25-char gate was LIVE (slate-001's ranking requires it; the option-key
+  * typo postdates the fixtures). The north rule targets fixture equality,
+  * so [[Extractor.scoreParagraphs]] keeps the gate at `minTextLength`.
   */
 final case class ExtractOptions(
     minTextLength: Int = 25,
