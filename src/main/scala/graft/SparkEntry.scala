@@ -72,6 +72,16 @@ object SparkEntry {
           "failed_turns", "empty_turns")
     }),
 
+    "extract_sql_surface" -> ((s, dir) => {
+      // the Catalyst Expression path: extract_readable() composed in SQL
+      ExtractReadable.register(s)
+      TranscriptGen.roundtripTurns(s, dir, MinChars).toDF()
+        .createOrReplaceTempView("graft_turns")
+      s.sql(
+        """SELECT CAST(turn_idx AS BIGINT) AS doc_id,
+          |       extract_readable(text).text AS extracted_text
+          |FROM graft_turns""".stripMargin)
+    }),
     "extract_multipage" -> ((s, dir) => {
       // 2k/J3/W4 end-to-end: page 1 links to page 2 through an in-memory
       // fetcher; combined text = page1 + page2 (oracle below). A third
@@ -204,6 +214,11 @@ object SparkEntry {
     // readability extraction returns exactly the heading + the
     // whitespace-normalized document text.
     "extract_roundtrip" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
+        s"FROM documents WHERE n_chars >= $MinChars"),
+    "extract_sql_surface" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
