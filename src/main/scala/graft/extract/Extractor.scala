@@ -166,11 +166,60 @@ object Extractor {
     s
   }
 
-  /** `get_link_density` (readability.py:381-388). */
+  /** Single-pass subtree statistics: total clean text length, summed
+    * per-anchor clean text lengths (each `.//a` measured independently,
+    * nested anchors counted repeatedly — exactly
+    * `sum(text_length(a) for a in findall('.//a'))`), and descendant tag
+    * counts for sanitize. One walk replaces the reference's ~9 subtree
+    * traversals per judged node. */
+  final case class SubtreeStats(textLen: Int, linkLen: Int,
+      p: Int, img: Int, li: Int, a: Int, embed: Int, input: Int)
+
+  def subtreeStats(elem: Node): SubtreeStats = {
+    val root = new Cleaners.CleanLengthCounter
+    val active = new mutable.ArrayBuffer[Cleaners.CleanLengthCounter](2)
+    var linkLen = 0
+    var nP = 0; var nImg = 0; var nLi = 0; var nA = 0; var nEmbed = 0; var nInput = 0
+    def feed(s: String): Unit = {
+      root.accept(s)
+      var i = 0
+      while (i < active.length) { active(i).accept(s); i += 1 }
+    }
+    def walk(n: Node): Unit = {
+      if (n.isElement && n.text != null) feed(n.text)
+      var i = 0
+      while (i < n.children.length) {
+        val c = n.children(i)
+        var isA = false
+        if (c.isElement) {
+          c.tag match {
+            case "p" => nP += 1
+            case "img" => nImg += 1
+            case "li" => nLi += 1
+            case "a" => nA += 1; isA = true
+            case "embed" => nEmbed += 1
+            case "input" => nInput += 1
+            case _ =>
+          }
+        }
+        if (isA) active += new Cleaners.CleanLengthCounter
+        walk(c)
+        if (isA) {
+          val cnt = active.remove(active.length - 1)
+          linkLen += cnt.result
+        }
+        if (c.tail != null) feed(c.tail)
+        i += 1
+      }
+    }
+    walk(elem)
+    SubtreeStats(root.result, linkLen, nP, nImg, nLi, nA, nEmbed, nInput)
+  }
+
+  /** `get_link_density` (readability.py:381-388) — single pass. */
   def linkDensity(elem: Node): Double = {
-    var linkLength = 0
-    elem.findAll("a").foreach(a => linkLength += textLength(a))
-    linkLength.toDouble / math.max(textLength(elem), 1)
+    val s = subtreeStats(elem)
+    s.linkLen.toDouble / math.max(s.textLen, 1)
   }
 
   // ---------- P4: remove_unlikely_candidates ----------
@@ -519,13 +568,14 @@ object Extractor {
         if (weight + contentScore < 0) {
           el.dropTree()
         } else if (!Cleaners.commasAtLeast(el, 10)) {
-          val pCount = el.findAll("p").length
-          val imgCount = el.findAll("img").length
-          val liCount = el.findAll("li").length - 100
-          val inputCount = el.findAll("input").length
-          val embedCount = el.findAll("embed").length
-          val contentLength = textLength(el)
-          val ld = linkDensity(el)
+          val st = subtreeStats(el)
+          val pCount = st.p
+          val imgCount = st.img
+          val liCount = st.li - 100
+          val inputCount = st.input
+          val embedCount = st.embed
+          val contentLength = st.textLen
+          val ld = st.linkLen.toDouble / math.max(st.textLen, 1)
 
           var toRemove = false
           if (pCount > 0 && imgCount > pCount) toRemove = true
