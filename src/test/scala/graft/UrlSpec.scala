@@ -59,3 +59,21 @@ class UrlSpec extends AnyFunSuite {
     assert(PyUrl.urljoin("http://a.com/b/c.html", "#frag") == "http://a.com/b/c.html#frag")
   }
 }
+
+/** Conformance table generated from Python's urllib.parse.urljoin
+  * (equivalent to the Py2 urlparse the reference uses for http URLs). */
+class UrlJoinConformanceSpec extends AnyFunSuite {
+  test("urljoin agrees with Python urllib on 140 cases") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/urljoin_cases.tsv"), "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    var mismatches = List.empty[String]
+    lines.foreach { line =>
+      val parts = line.split("\t", -1)
+      val (base, ref, want) = (parts(0), parts(1), parts(2))
+      val got = PyUrl.urljoin(base, ref)
+      if (got != want) mismatches ::= s"urljoin($base, $ref) = $got, want $want"
+    }
+    assert(mismatches.isEmpty, mismatches.take(10).mkString("\n"))
+  }
+}
