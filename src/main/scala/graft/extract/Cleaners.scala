@@ -54,26 +54,6 @@ object Cleaners {
     }
   }
 
-  /** P11 — the survivors of `clean_attributes`
-    * (/root/reference/readability/cleaners.py:5-20). The reference regex
-    * strips, from serialized HTML, any *valued* attribute named width,
-    * height, style, `[-a-z]*color`, `background[-a-z]*`, or `o` followed
-    * only by `n`s (the `on*` pattern is a regex quirk: it matches "o",
-    * "on", "onn"…, so real `onclick` handlers are NOT matched — they were
-    * already removed by P1). Empty-valued attributes survive (the value
-    * pattern requires 1+ chars). We reproduce the same surviving set on
-    * the tree. */
-  def cleanAttributes(root: Node): Unit = {
-    root.iterSubtree.foreach { n =>
-      if (n.isElement && n.hasAttrs) {
-        val bad = n.attrs.iterator.filter { case (k, v) =>
-          v != null && v.nonEmpty && isBadAttr(k)
-        }.map(_._1).toList
-        bad.foreach(n.removeAttr)
-      }
-    }
-  }
-
   private val onStar = java.util.regex.Pattern.compile("on*",
     java.util.regex.Pattern.CASE_INSENSITIVE)
 

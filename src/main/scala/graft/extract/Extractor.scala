@@ -38,8 +38,6 @@ final case class Summary(
   */
 object Extractor {
 
-  private final class Candidate(val elem: Node, var score: Double)
-
   private class UnparseableException(msg: String) extends RuntimeException(msg)
 
   // ---------- public API ----------
@@ -388,20 +386,6 @@ object Extractor {
       }
     }
     appendP(elem, acc)
-  }
-
-  /** True iff the element has two `<br>` children separated only by
-    * whitespace — i.e. the FSM would actually find a double-break after
-    * `squeeze_breaks`. */
-  def hasDoubleBreak(elem: Node): Boolean = {
-    var i = 0
-    while (i + 1 < elem.children.length) {
-      val c = elem.children(i)
-      if (c.tag == "br" && elem.children(i + 1).tag == "br" &&
-        (c.tail == null || Cleaners.strip(c.tail).isEmpty)) return true
-      i += 1
-    }
-    false
   }
 
   /** `transform_double_breaks_into_paragraphs` (readability.py:310-359) —

@@ -87,4 +87,23 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val l3 = ExtractJob.runResumable(spark, turns, 8, fp + "-v2", out, ledger)
     assert(l3.nonEmpty)
   }
+
+  test("salting balances skewed conversations across buckets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // heavily skewed: conversation sizes grow as 2k+1 docs (TranscriptGen),
+    // amplified 20x per doc
+    val turns = TranscriptGen.turns(spark, sfDir, 20).toDF()
+    val buckets = 32
+    val sizes = turns.withColumn("bucket", ExtractJob.bucketCol(buckets))
+      .groupBy("bucket").count().as[(Int, Long)].collect().map(_._2)
+    val total = sizes.sum
+    val maxB = sizes.max
+    // the largest conversation alone is ~14% of the corpus at sf0.001;
+    // after salting no bucket may dominate
+    assert(sizes.length >= buckets - 2, s"got only ${sizes.length} non-empty buckets")
+    assert(maxB.toDouble / total < 0.10,
+      s"bucket skew too high: max=$maxB of $total")
+  }
 }

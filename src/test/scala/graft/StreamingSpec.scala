@@ -1,0 +1,53 @@
+package graft
+
+import graft.spark.{ExtractJob, StreamingExtract, TranscriptGen, Turn}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming face of the extraction stage produces identical rows to
+  * the batch path. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming extraction equals batch extraction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val turns: Seq[Turn] = TranscriptGen
+      .turns(s, "/root/testdata/sf0.001", 1).collect().take(50).toSeq
+
+    val stream = MemoryStream[Turn]
+    val q = StreamingExtract.extractStream(stream.toDS())
+      .writeStream.format("memory").queryName("extracted_stream")
+      .outputMode("append").start()
+    stream.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("extracted_stream")
+      .select("conv_id", "turn_idx", "extracted_text", "confidence")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.getString(2)).getOrElse(""), r.getDouble(3))).sortBy(x => (x._1, x._2))
+
+    val opts = graft.extract.ExtractOptions()
+    val batch = turns.map(t => ExtractJob.extractTurn(t, opts))
+      .map(r => (r.conv_id, r.turn_idx,
+        Option(r.extracted_text).getOrElse(""), r.confidence))
+      .sortBy(x => (x._1, x._2)).toArray
+
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
