@@ -171,7 +171,13 @@ object ExtractJob {
     val res = run(spark, remaining, numBuckets, fingerprint)
     res.extracted
       .withColumn("bucket", bucketCol(numBuckets))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(outDir)
+      .write
+      // dynamic partition overwrite: only the buckets written by THIS run
+      // are replaced, so a bucket half-written by a crashed attempt is
+      // cleanly overwritten when its turn comes again (exactly-once per
+      // bucket), while ledgered buckets' output is untouched
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
     val lineage = res.lineageRows
     spark.createDataset(lineage)
       .write.mode(SaveMode.Append).parquet(ledgerDir)
