@@ -141,7 +141,7 @@ object HtmlParser {
       }
       val start = i
       while (i < len && isNameChar(in.charAt(i))) i += 1
-      val name = in.substring(start, i).toLowerCase
+      val name = in.substring(start, i).toLowerCase(java.util.Locale.ROOT)
       val end = in.indexOf('>', i)
       pos = if (end < 0) len else end + 1
       endTag(name)
@@ -151,7 +151,7 @@ object HtmlParser {
       var i = pos + 1
       val start = i
       while (i < len && isNameChar(in.charAt(i))) i += 1
-      val name = in.substring(start, i).toLowerCase
+      val name = in.substring(start, i).toLowerCase(java.util.Locale.ROOT)
       var attrPairs: mutable.ArrayBuffer[(String, String)] = null
       // attribute scanning
       var done = false
@@ -165,7 +165,7 @@ object HtmlParser {
           val ns = i
           while (i < len && !isWs(in.charAt(i)) && in.charAt(i) != '=' &&
             in.charAt(i) != '>' && in.charAt(i) != '/') i += 1
-          val aname = in.substring(ns, i).toLowerCase
+          val aname = in.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
           while (i < len && isWs(in.charAt(i))) i += 1
           var avalue = ""
           if (i < len && in.charAt(i) == '=') {

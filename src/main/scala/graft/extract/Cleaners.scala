@@ -47,7 +47,7 @@ object Cleaners {
     for (urlAttr <- List("href", "src", "action")) {
       val v = n.attr(urlAttr)
       if (v != null) {
-        val t = v.trim.toLowerCase
+        val t = v.trim.toLowerCase(java.util.Locale.ROOT)
         if (t.startsWith("javascript:") || t.startsWith("vbscript:"))
           n.setAttr(urlAttr, "")
       }
@@ -58,7 +58,7 @@ object Cleaners {
     java.util.regex.Pattern.CASE_INSENSITIVE)
 
   def isBadAttr(kRaw: String): Boolean = {
-    val k = kRaw.toLowerCase
+    val k = kRaw.toLowerCase(java.util.Locale.ROOT)
     k == "width" || k == "height" || k == "style" ||
       (k.endsWith("color") && k.dropRight(5).forall(c => (c >= 'a' && c <= 'z') || c == '-')) ||
       (k.startsWith("background") && k.drop(10).forall(c => (c >= 'a' && c <= 'z') || c == '-')) ||

@@ -38,7 +38,7 @@ object Pages {
 
   private def cleanSegmentIndex(segments: Array[String], index: Int,
       segment: String): String = {
-    if (index == segments.length - 1 && segment.toLowerCase == "index") null
+    if (index == segments.length - 1 && segment.toLowerCase(java.util.Locale.ROOT) == "index") null
     else segment
   }
 

@@ -24,7 +24,7 @@ object PyUrl {
     if (colon > 0 && rest.substring(0, colon).forall(c =>
       Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.') &&
       Character.isLetter(rest.charAt(0))) {
-      scheme = rest.substring(0, colon).toLowerCase
+      scheme = rest.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
       rest = rest.substring(colon + 1)
     }
     if (rest.startsWith("//")) {

@@ -43,7 +43,7 @@ object TextAnalysis {
       .select("doc_id", "text").as[(Long, String)]
     val sw = stopwords // serialized into the closure (tiny)
     docs.map { case (id, text) =>
-      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       val total = math.max(words.length, 1)
       val scores = sw.map { case (lang, s) =>
         lang -> words.count(s.contains).toDouble / total
