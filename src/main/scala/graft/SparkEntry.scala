@@ -177,8 +177,36 @@ object SparkEntry {
     // ---- multimodal plumbing (stubbed decode) ----
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(s, dir)),
 
+    "dedup_rewrite" -> ((s, dir) => {
+      // the dedup APPLIED: keep one representative per content digest
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      docs.join(keepers, "doc_id").select(col("doc_id"), col("n_chars"))
+    }),
+
     // ---- relational anchors on the star schema (exact-valued oracles
     //      for the driver's DuckDB comparator: agg, join, window) ----
+    "q_antijoin_customers" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      customer.join(orders, customer("c_custkey") === orders("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    }),
+    "q_sessionize_events" -> ((s, dir) => {
+      // lag-window sessionization: a new session starts after a >1h gap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 3600, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
+    }),
     "q_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
@@ -252,6 +280,19 @@ object SparkEntry {
         "CAST(floor((length(text) + 3) / 4) AS BIGINT) AS token_estimate, " +
         "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS the_count " +
         "FROM documents"),
+    "dedup_rewrite" ->
+      ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
+        "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
+        "ON d.doc_id = k.doc_id"),
+    "q_antijoin_customers" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+    "q_sessionize_events" ->
+      ("SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS events FROM (" +
+        "SELECT user_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session FROM (" +
+        "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
+        "FROM events) t1) t2 GROUP BY user_id"),
     "q_lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),
