@@ -51,12 +51,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // min-of-2 for the headline: the sandbox is a shared machine
-    val (turns, sec1) =
-      extractionThroughput(spark, sfDir, turnsPerDoc = 20, buckets = cpus.toInt * 4)
-    val (_, sec2) =
-      extractionThroughput(spark, sfDir, turnsPerDoc = 20, buckets = cpus.toInt * 4)
-    val extractSec = math.min(sec1, sec2)
+    // headline: min-of-3 at a workload big enough to dominate fixed costs
+    // (the sandbox is a shared machine; contended runs are large outliers)
+    val runs = (1 to 3).map { _ =>
+      extractionThroughput(spark, sfDir, turnsPerDoc = 50, buckets = cpus.toInt * 4)
+    }
+    val turns = runs.head._1
+    val extractSec = runs.map(_._2).min
     val turnsPerSec = turns / extractSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

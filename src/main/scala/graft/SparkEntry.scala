@@ -168,6 +168,8 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "dedup_embedding_nn" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
 
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
@@ -284,6 +286,30 @@ object SparkEntry {
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
         "ON d.doc_id = k.doc_id"),
+    // Embedding oracles: DuckDB's list_dot_product on DOUBLE[] is a strict
+    // left-to-right double sum — bit-identical to both the typed JVM
+    // kernel (embeddingNearDup) and the Catalyst aggregate/zip_with HOF
+    // (bruteForceTopK), so raw doubles survive the driver's hash compare.
+    "dedup_embedding_nn" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, " +
+        "list_dot_product(b.v, a.v) / (b.nrm * a.nrm) AS cosine " +
+        "FROM n a JOIN n b ON a.vec_id <> b.vec_id) " +
+        "SELECT vec_id, nn_id, cosine, " +
+        "CAST(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t " +
+        "WHERE rn = 1"),
+    "ann_cosine_topk" ->
+      ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n ORDER BY vec_id LIMIT 20), " +
+        "s AS (SELECT q.query_id, n.vec_id AS corpus_id, " +
+        "list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cosine " +
+        "FROM n, q WHERE n.vec_id <> q.query_id) " +
+        "SELECT query_id, CAST(rn AS INTEGER) AS \"rank\", corpus_id, cosine " +
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s) t " +
+        "WHERE rn <= 5"),
     "q_antijoin_customers" ->
       ("SELECT c_custkey, c_mktsegment FROM customer " +
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),

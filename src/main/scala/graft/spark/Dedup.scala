@@ -169,6 +169,61 @@ object Dedup {
       .where(col("hamming") <= 6)
   }
 
+  /** Embedding-cosine near-dup: each vector's nearest neighbor by cosine
+    * plus a duplicate flag (`cosine >= threshold`). The corpus side is
+    * broadcast once (a 64-dim embedding table is tiny relative to text);
+    * the per-row argmax is a tight JVM loop over the broadcast arrays —
+    * no n² rows ever materialize in the plan. At 100 TB the broadcast is
+    * replaced by the LSH / IVF bucket equi-joins in [[Similarity]]: same
+    * output contract, candidates restricted to matching buckets.
+    *
+    * Numerics are strict sequential float→double dot products so the
+    * result is bit-identical to DuckDB's `list_dot_product` oracle
+    * (verified: both are left-to-right double sums).
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val corpus = emb.collect().sortBy(_._1)
+    val norms = corpus.map { case (_, v) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    val bcVecs = spark.sparkContext.broadcast(corpus)
+    val bcNorms = spark.sparkContext.broadcast(norms)
+
+    emb.mapPartitions { it =>
+      val vecs = bcVecs.value
+      val nrm = bcNorms.value
+      it.map { case (id, v) =>
+        var qn = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i).toDouble; qn += x * x; i += 1 }
+        qn = math.sqrt(qn)
+        var bestCos = Double.NegativeInfinity
+        var bestId = -1L
+        var c = 0
+        while (c < vecs.length) {
+          val (cid, cv) = vecs(c)
+          if (cid != id) {
+            var dot = 0.0
+            var j = 0
+            while (j < cv.length) { dot += cv(j).toDouble * v(j).toDouble; j += 1 }
+            val cos = dot / (nrm(c) * qn)
+            // ascending-id scan + strict '>' == ORDER BY cos DESC, nn_id
+            if (cos > bestCos) { bestCos = cos; bestId = cid }
+          }
+          c += 1
+        }
+        (id, bestId, bestCos, if (bestCos >= threshold) 1L else 0L)
+      }
+    }.toDF("vec_id", "nn_id", "cosine", "is_dup")
+  }
+
   /** Exact n-gram Jaccard via an inverted index: explode distinct gram
     * hashes, drop hot grams (stopword-like shingles shared by a large
     * corpus fraction — they only generate noise pairs), self-join on the

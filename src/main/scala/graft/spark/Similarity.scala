@@ -47,6 +47,91 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every
+    * corpus vector to its nearest centroid cell; queries probe their
+    * `nprobe` nearest cells; exact cosine re-rank happens only within the
+    * probed cells. Training is deterministic: init = lowest-vec_id
+    * vectors, fixed Lloyd iteration count, on a bounded sample collected
+    * once (at 100 TB: sample ~10^5 rows, centroids broadcast — the
+    * all-pairs product becomes an equi-join on `cell`, identical shape to
+    * [[lshTopK]] with the bucket key replaced by nearest-centroid id). */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5,
+      sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+
+    // --- train the coarse quantizer on a deterministic bounded sample ---
+    val sample = emb.orderBy("vec_id").limit(sampleCap).collect()
+    val dim = sample.head._2.length
+    var centroids = Array.tabulate(numCentroids) { c =>
+      sample(c % sample.length)._2.map(_.toDouble)
+    }
+    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var j = 0
+        val cv = cs(c)
+        while (j < dim) { val t = cv(j) - v(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < lloydIters) {
+      val sums = Array.fill(numCentroids)(new Array[Double](dim))
+      val cnts = new Array[Long](numCentroids)
+      sample.foreach { case (_, v) =>
+        val c = nearest(centroids, v)
+        cnts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(numCentroids) { c =>
+        if (cnts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else { val s = sums(c); var j = 0; while (j < dim) { s(j) /= cnts(c); j += 1 }; s }
+      }
+      iter += 1
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    // --- assign: corpus → one cell each (typed kernel, no HOFs) ---
+    val corpus = emb.map { case (id, v) =>
+      var n = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+      (nearest(bcCentroids.value, v), id, v, math.sqrt(n))
+    }.toDF("cell", "corpus_id", "embedding", "corpus_norm")
+
+    // --- queries probe their nprobe nearest cells ---
+    val queries = emb.orderBy("vec_id").limit(numQueries)
+      .flatMap { case (id, v) =>
+        val cs = bcCentroids.value
+        var n = 0.0; var j = 0
+        while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+        val byDist = (0 until cs.length).map { c =>
+          var d = 0.0; var jj = 0
+          while (jj < dim) { val t = cs(c)(jj) - v(jj); d += t * t; jj += 1 }
+          (d, c)
+        }.sorted.take(nprobe)
+        byDist.iterator.map { case (_, c) => (c, id, v, math.sqrt(n)) }
+      }.toDF("cell", "query_id", "q_embedding", "query_norm")
+
+    val scored = corpus.join(broadcast(queries), "cell")
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (expr("aggregate(zip_with(embedding, q_embedding, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (s, v) -> s + v)") /
+          (col("corpus_norm") * col("query_norm"))).as("cosine"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Sign-bucket LSH: `numPlanes` deterministic hyperplanes; bucket =
     * packed sign bits; exact cosine re-rank within buckets. */
   def lshTopK(spark: SparkSession, sfDir: String,
