@@ -190,8 +190,12 @@ object SparkEntry {
     // ---- relational anchors on the star schema (exact-valued oracles
     //      for the driver's DuckDB comparator: agg, join, window) ----
     "q_antijoin_customers" -> ((s, dir) => {
+      // customers with no high-value order: the filter prunes the build
+      // side BEFORE the anti-join (pushdown-visible in explain; at sf0.01
+      // an unfiltered variant returns 0 rows — a vacuous check)
       val customer = s.read.parquet(s"$dir/customer.parquet")
       val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 400000)
       customer.join(orders, customer("c_custkey") === orders("o_custkey"),
           "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -312,7 +316,7 @@ object SparkEntry {
         "WHERE rn <= 5"),
     "q_antijoin_customers" ->
       ("SELECT c_custkey, c_mktsegment FROM customer " +
-        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"),
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"),
     "q_sessionize_events" ->
       ("SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions, COUNT(*) AS events FROM (" +
         "SELECT user_id, CASE WHEN prev_ts IS NULL OR " +

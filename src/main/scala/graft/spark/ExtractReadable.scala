@@ -83,5 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "extract_readable",
           "_FUNC_(html) - readability main-content extraction", ""),
         (exprs: Seq[Expression]) => ExtractReadable(exprs.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("dot_f64"),
+        new ExpressionInfo(classOf[DotF64].getName, null, "dot_f64",
+          "_FUNC_(a, b) - sequential double dot product of two float/double arrays", ""),
+        (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
   }
 }

@@ -20,15 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd dot product (see [[DotF64]]) — bit-identical to the
+    * interpreted `aggregate`/`zip_with` formulation it replaced, ~100×
+    * cheaper per element because it stays inside whole-stage codegen. */
+  private def dot(a: String, b: String) =
+    call_function("dot_f64", col(a), col(b))
+
   private def normed(df: DataFrame, idCol: String): DataFrame =
     df.select(col("vec_id").as(idCol), col("embedding"),
-      expr("sqrt(aggregate(embedding, 0.0D, (s, x) -> s + cast(x as double) * cast(x as double)))")
-        .as(idCol + "_norm"))
+      sqrt(dot("embedding", "embedding")).as(idCol + "_norm"))
 
   /** Exact cosine top-k of `corpus` for each of the first `numQueries`
     * vectors (deterministic query subset). */
   def bruteForceTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, numQueries: Int = 20): DataFrame = {
+    VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = normed(emb, "corpus_id")
     val queries = normed(emb.orderBy("vec_id").limit(numQueries), "query_id")
@@ -37,7 +43,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        (expr("aggregate(zip_with(embedding, q_embedding, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (s, v) -> s + v)") /
+        (dot("embedding", "q_embedding") /
           (col("corpus_id_norm") * col("query_id_norm"))).as("cosine"))
 
     val w = org.apache.spark.sql.expressions.Window
@@ -60,6 +66,7 @@ object Similarity {
       numQueries: Int = 20, lloydIters: Int = 5,
       sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
+    VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
 
@@ -122,7 +129,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), "cell")
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        (expr("aggregate(zip_with(embedding, q_embedding, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (s, v) -> s + v)") /
+        (dot("embedding", "q_embedding") /
           (col("corpus_norm") * col("query_norm"))).as("cosine"))
 
     val w = org.apache.spark.sql.expressions.Window
@@ -136,6 +143,7 @@ object Similarity {
     * packed sign bits; exact cosine re-rank within buckets. */
   def lshTopK(spark: SparkSession, sfDir: String,
       numPlanes: Int = 8, k: Int = 5, numQueries: Int = 20): DataFrame = {
+    VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     // deterministic pseudo-random hyperplane component for (plane, dim):
     // xxhash64 scaled to [-1, 1]
@@ -156,7 +164,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), "bucket")
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
-        (expr("aggregate(zip_with(embedding, q_embedding, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (s, v) -> s + v)") /
+        (dot("embedding", "q_embedding") /
           (col("corpus_id_norm") * col("query_id_norm"))).as("cosine"))
 
     val w = org.apache.spark.sql.expressions.Window

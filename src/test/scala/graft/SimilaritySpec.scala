@@ -31,6 +31,48 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
   }
 
+  test("dot_f64: codegen path == interpreted path == HOF formulation, bit-exact") {
+    graft.spark.VectorFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .crossJoin(spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+        .select(org.apache.spark.sql.functions.col("embedding").as("e2")))
+    val hof = df.selectExpr(
+      "aggregate(zip_with(embedding, e2, (x, y) -> cast(x as double) * cast(y as double)), 0.0D, (s, v) -> s + v) AS d")
+      .as[Double].collect()
+    val native = df.selectExpr("dot_f64(embedding, e2) AS d").as[Double].collect()
+    val interpreted = {
+      // force the interpreted path: wholeStageCodegen off
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try df.selectExpr("dot_f64(embedding, e2) AS d").as[Double].collect()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(native.length == 2500)
+    assert(native.toSeq == hof.toSeq, "codegen vs HOF")
+    assert(native.toSeq == interpreted.toSeq, "codegen vs interpreted eval")
+    // nulls: null element contributes 0; null array → null result
+    val edge = spark.sql(
+      "SELECT dot_f64(array(1.0F, NULL, 2.0F), array(3.0D, 4.0D, 5.0D)) AS a, " +
+        "dot_f64(CAST(NULL AS ARRAY<FLOAT>), array(1.0D)) AS b").collect().head
+    assert(edge.getDouble(0) == 13.0)
+    assert(edge.isNullAt(1))
+    // the projection must stay inside whole-stage codegen (inspect the
+    // FINAL adaptive plan — pre-execution it prints isFinalPlan=false
+    // without codegen spans)
+    val q = df.selectExpr("dot_f64(embedding, e2) AS d")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // '*(n)' prefix == operator runs inside WholeStageCodegen stage n
+    assert(plan.contains(") Project [dot_f64") &&
+      """\*\(\d+\) Project \[dot_f64""".r.findFirstIn(plan).isDefined,
+      plan.take(500))
+  }
+
   test("IVF top-k is deterministic and recalls most of exact top-k") {
     val exact = topkSet(Similarity.bruteForceTopK(spark, sfDir))
     val ivf1 = topkSet(Similarity.ivfTopK(spark, sfDir))
