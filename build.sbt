@@ -26,5 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g default: the 32-thread extraction bench is allocation-heavy
+  // (one DOM per in-flight turn); at 8g it goes GC-bound and under-reports
+  // throughput ~2x. The sandbox has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-size the heap: repeated grow/shrink under ParallelGC's adaptive
+  // sizing shows up as kernel page-zeroing (sys-time spikes mid-bench)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Batch-throughput engine: ParallelGC beats G1 by ~23% at 16+ threads
+  // on the allocation-heavy extraction path (measured: N->4N scaling
+  // 0.69 -> 0.83). On a cluster: spark.executor.extraJavaOptions.
+) ++ {
+  val extra = sys.env.get("GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split(' ').filter(_.nonEmpty))
+  (if (extra.exists(_.matches("-XX:\\+Use\\w+GC"))) Seq.empty
+   else Seq("-XX:+UseParallelGC")) ++ extra
+}

@@ -52,9 +52,13 @@ object Bench {
     }
 
     // headline: min-of-3 at a workload big enough to dominate fixed costs
-    // (the sandbox is a shared machine; contended runs are large outliers)
-    val runs = (1 to 3).map { _ =>
-      extractionThroughput(spark, sfDir, turnsPerDoc = 50, buckets = cpus.toInt * 4)
+    // (~0.4 s/job of scheduler+scan setup; the sandbox is a shared machine
+    // and contended runs are large outliers, hence min)
+    // min-of-5: measured hypervisor noise swings a clean 3.4 s run to
+    // 9 s; five attempts reliably include a clean window
+    val tpd = sys.env.getOrElse("SPARK_GRAFT_TPD", "200").toInt
+    val runs = (1 to 5).map { _ =>
+      extractionThroughput(spark, sfDir, turnsPerDoc = tpd, buckets = cpus.toInt * 4)
     }
     val turns = runs.head._1
     val extractSec = runs.map(_._2).min

@@ -28,31 +28,69 @@ object ScalingBench {
       spark.stop()
     }
 
-    def runAt(cores: Int): (Long, Double, Long) = {
-      val spark = Bench.session(cores.toString)
-      // measure 3×, keep the fastest (shared noisy machine)
-      val runs = (1 to 3).map { _ =>
-        Bench.extractionThroughput(spark, sfDir, turnsPerDoc, buckets = cores * 4)
-      }
-      val turns = runs.head._1
-      val sec = runs.map(_._2).min
-      System.err.println(f"[scaling] cores=$cores runs=${runs.map(r => f"${r._2}%.3f").mkString(",")}")
+    def digestAt(spark: SparkSession, cores: Int): Long = {
       // determinism digest: hash of the sorted extracted text
       import spark.implicits._
       import org.apache.spark.sql.functions._
-      val digest = graft.spark.ExtractJob
+      graft.spark.ExtractJob
         .run(spark, graft.spark.TranscriptGen.turns(spark, sfDir, 2), cores * 4)
         .extracted.toDF()
         .orderBy("conv_id", "turn_idx")
         .select(xxhash64(col("conv_id"), col("turn_idx"),
           coalesce(col("extracted_text"), lit("")), col("confidence")))
         .as[Long].reduce(_ ^ _)
-      spark.stop()
-      (turns, sec, digest)
     }
 
-    val (turnsN, secN, digestN) = runAt(n)
-    val (turns4, sec4, digest4) = runAt(4 * n)
+    // INTERLEAVED, STEAL-AWARE measurement: alternate N / 4N so noise
+    // windows hit both configs equally, and reject samples taken under
+    // hypervisor steal (this sandbox shows 0-31% steal swinging by the
+    // minute; a sequential 3×N-then-3×4N protocol measured efficiency
+    // anywhere between 0.68 and 0.97 on identical code). A sample is
+    // KEPT when steal during its window is < 3%; min per config wins.
+    def cpuStat(): (Long, Long) = {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val v = line.split("\\s+").drop(1).map(_.toLong)
+      (v(7), v.take(8).sum) // (steal, total)
+    }
+    def once(cores: Int): (Long, Double, Double) = {
+      val (s0, t0) = cpuStat()
+      val spark = Bench.session(cores.toString)
+      val r = Bench.extractionThroughput(spark, sfDir, turnsPerDoc, buckets = cores * 4)
+      spark.stop()
+      val (s1, t1) = cpuStat()
+      val steal = (s1 - s0).toDouble / math.max(t1 - t0, 1L)
+      (r._1, r._2, steal)
+    }
+    val maxAttempts = 8
+    val wanted = 3
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, (Long, Double, Double))]
+    var attempt = 0
+    def cleanCount(cores: Int) =
+      samples.count { case (c, (_, _, st)) => c == cores && st < 0.03 }
+    while (attempt < maxAttempts &&
+        (cleanCount(n) < wanted || cleanCount(4 * n) < wanted)) {
+      if (cleanCount(n) < wanted) samples += (n -> once(n))
+      if (cleanCount(4 * n) < wanted) samples += ((4 * n) -> once(4 * n))
+      attempt += 1
+    }
+    def best(cores: Int): (Long, Double, Double) = {
+      val rs = samples.collect { case (c, r) if c == cores => r }
+      val clean = rs.filter(_._3 < 0.03)
+      val pool = if (clean.nonEmpty) clean else rs
+      System.err.println(
+        f"[scaling] cores=$cores runs=${rs.map(r => f"${r._2}%.3f@${r._3 * 100}%.1f%%steal").mkString(",")}")
+      val bestRun = pool.minBy(_._2)
+      (rs.head._1, bestRun._2, bestRun._3)
+    }
+    val (turnsN, secN, stealN) = best(n)
+    val (turns4, sec4, steal4) = best(4 * n)
+    val (digestN, digest4) = {
+      val sN = Bench.session(n.toString)
+      val dN = digestAt(sN, n); sN.stop()
+      val s4 = Bench.session((4 * n).toString)
+      val d4 = digestAt(s4, 4 * n); s4.stop()
+      (dN, d4)
+    }
     require(turnsN == turns4, "row counts differ across parallelism")
     val thruN = turnsN / secN
     val thru4 = turns4 / sec4
@@ -61,6 +99,7 @@ object ScalingBench {
       s"""{"metric":"scaling efficiency N->4N","value":${f"$eff%.3f"},"unit":"ratio",""" +
         s""""n_cores":$n,"thru_n":${f"$thruN%.1f"},"thru_4n":${f"$thru4%.1f"},""" +
         s""""turns":$turnsN,"sec_n":${f"$secN%.3f"},"sec_4n":${f"$sec4%.3f"},""" +
+        s""""steal_n":${f"$stealN%.4f"},"steal_4n":${f"$steal4%.4f"},""" +
         s""""deterministic":${digestN == digest4},"sf":"$sfDir"}""")
   }
 }
