@@ -36,8 +36,10 @@ object ThreadScaling {
 
     run(8) // warmup
     run(8)
+    // max-of-3 per thread count: co-tenant noise swings single samples
+    // several-fold on this shared box
     Seq(1, 2, 4, 8, 16, 32).foreach { k =>
-      val thru = run(k)
+      val thru = (1 to 3).map(_ => run(k)).max
       println(f"threads=$k%2d  docs/sec=$thru%9.0f  per-thread=${thru / k}%8.0f")
     }
   }
