@@ -1,0 +1,101 @@
+package graft
+
+import graft.spark.{ExtractJob, TranscriptGen, Turn}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the properties that make these operators
+  * survive a 100× scale-up, pinned as assertions on the FINAL adaptive
+  * plans (AQE) so a refactor that silently drops a pushdown, broadcasts
+  * the wrong side, or adds a shuffle fails the build — not the cluster.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Final executed plan string (run the query so AQE finalizes; strip
+    * the "== Initial Plan ==" echo so nothing is counted twice). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("roundtrip scan: filter pushed to parquet, columns pruned, no shuffle") {
+    val plan = finalPlan(SparkEntry.queries("extract_roundtrip")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,250)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>"), plan)
+    assert(!plan.contains("Exchange"), "per-turn extraction must not shuffle\n" + plan)
+  }
+
+  test("top-customers: broadcast join, map-side partial agg, top-k without global sort") {
+    val plan = finalPlan(SparkEntry.queries("q_join_topcustomers")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("BuildRight"), "small (customer) side must be the build side\n" + plan)
+    assert(plan.contains("partial_count"), "aggregation must combine map-side before the exchange\n" + plan)
+    assert(plan.contains("TakeOrderedAndProject"), "LIMIT 10 must be top-k, not global sort\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("anti-join: build-side filter pushed to parquet, broadcast LeftAnti") {
+    val plan = finalPlan(SparkEntry.queries("q_antijoin_customers")(spark, sfDir))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("GreaterThan(o_totalprice,400000.0)"),
+      "price filter must reach the parquet scan\n" + plan)
+  }
+
+  test("exact dedup: map-side partial aggregation collapses duplicates before the exchange") {
+    val plan = finalPlan(SparkEntry.queries("dedup_exact")(spark, sfDir))
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial agg must sit below (after, in plan print order) the exchange\n" + plan)
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("extraction job: exactly one exchange (the salted bucket hash), sort within partitions only") {
+    val s = spark
+    import s.implicits._
+    val turns = (0 until 64).map { i =>
+      Turn(TranscriptGen.convOf(i.toLong), i, "assistant",
+        TranscriptGen.htmlWrap(i.toLong, "some words for the extractor " * 20),
+        "", new java.sql.Timestamp(TranscriptGen.FixedEpochMs))
+    }
+    // parquet-backed input (a LocalTableScan would constant-fold the
+    // bucket expression out of the plan)
+    val tmp = java.nio.file.Files.createTempDirectory("planspec").toString
+    s.createDataset(turns).write.mode("overwrite").parquet(s"$tmp/turns")
+    val input = spark.read.parquet(s"$tmp/turns").as[Turn]
+    val df = ExtractJob.run(spark, input, numBuckets = 8).extracted.toDF()
+    val plan = finalPlan(df)
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges\n" + plan)
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    // the salt: pmod(turn_idx, k) mixed into the bucket hash
+    assert(plan.contains("pmod(turn_idx"), "skew salt missing from bucket key\n" + plan)
+    // sort is partition-local (global=false) — no global ordering shuffle
+    assert("Sort \\[conv_id[^\\]]+\\], false".r.findFirstIn(plan).isDefined,
+      "expected partition-local sort\n" + plan)
+  }
+
+  test("ANN brute force: query side broadcast, corpus side never shuffled") {
+    val plan = finalPlan(SparkEntry.queries("ann_cosine_topk")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // the only exchange permitted is the per-query window (20 rows/query)
+    assert(!plan.contains("Exchange hashpartitioning(corpus_id"), plan)
+  }
+}
