@@ -176,8 +176,11 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
 
-    // ---- multimodal plumbing (stubbed decode) ----
+    // ---- multimodal plumbing (stubbed codecs; Spark plumbing real) ----
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(s, dir)),
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s, dir).select("doc_id", "width", "height", "n_bytes")),
+    "multimodal_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
 
     "dedup_rewrite" -> ((s, dir) => {
       // the dedup APPLIED: keep one representative per content digest
@@ -290,6 +293,19 @@ object SparkEntry {
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
         "ON d.doc_id = k.doc_id"),
+    // Multimodal stubs are deterministic functions of (doc_id, utf8 byte
+    // length of text) — fully SQL-expressible despite the binary plumbing.
+    "multimodal_resize" ->
+      ("SELECT doc_id, CAST((64 + (doc_id % 8) * 32) // 2 AS INTEGER) AS width, " +
+        "CAST((64 + (doc_id % 5) * 48) // 2 AS INTEGER) AS height, " +
+        "CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes " +
+        "FROM documents"),
+    "multimodal_frame_sample" ->
+      ("SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS pts_ms, " +
+        "CAST(LEAST(256, blen - frame_idx * 256) AS BIGINT) AS frame_len " +
+        "FROM (SELECT doc_id, octet_length(encode(text)) AS blen, " +
+        "CAST(unnest(range(0, (octet_length(encode(text)) + 255) // 256, 4)) AS INTEGER) AS frame_idx " +
+        "FROM documents) t"),
     // Embedding oracles: DuckDB's list_dot_product on DOUBLE[] is a strict
     // left-to-right double sum — bit-identical to both the typed JVM
     // kernel (embeddingNearDup) and the Catalyst aggregate/zip_with HOF

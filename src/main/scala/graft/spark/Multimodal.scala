@@ -63,4 +63,47 @@ object Multimodal {
     while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
     (id, w, h, c, bytes.length - 16, checksum)
   }
+
+  /** STUB resize: halves both header dimensions and keeps every 4th body
+    * byte (the deterministic stand-in for 2×2 pixel pooling). Binary in →
+    * binary out, row-preserving — the exact plumbing a real resampler
+    * needs. Returns the new header fields + payload size for the oracle. */
+  def resizeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          require(bb.getInt() == 0x47524654, s"bad magic for doc $id")
+          val w = bb.getInt(); val h = bb.getInt(); val c = bb.getInt()
+          val body = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+          val pooled = Array.tabulate((body.length + 3) / 4)(i => body(i * 4))
+          val out = java.nio.ByteBuffer.allocate(16 + pooled.length)
+          out.putInt(0x47524654).putInt(w / 2).putInt(h / 2).putInt(c)
+          out.put(pooled)
+          (id, out.array(), w / 2, h / 2, pooled.length.toLong)
+        }
+      }.toDF("doc_id", "media", "width", "height", "n_bytes")
+  }
+
+  /** STUB frame sampler: treats the body as a fixed-rate "video" of
+    * 256-byte frames and emits every 4th frame — the one-row-to-many-rows
+    * (flatMap/explode) plumbing a real frame extractor needs, with a
+    * synthetic presentation timestamp per frame. */
+  def frameSample(spark: SparkSession, sfDir: String,
+      frameBytes: Int = 256, every: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val bodyLen = bytes.length - 16
+        val total = (bodyLen + frameBytes - 1) / frameBytes
+        (0 until total by every).iterator.map { f =>
+          val start = 16 + f * frameBytes
+          val end = math.min(start + frameBytes, bytes.length)
+          (id, f, (f * 40L), (end - start).toLong) // 25 fps → 40 ms/frame
+        }
+      }.toDF("doc_id", "frame_idx", "pts_ms", "frame_len")
+  }
 }
