@@ -26,19 +26,28 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the 32-thread extraction bench is allocation-heavy
-  // (one DOM per in-flight turn); at 8g it goes GC-bound and under-reports
-  // throughput ~2x. The sandbox has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // Pre-size the heap: repeated grow/shrink under ParallelGC's adaptive
-  // sizing shows up as kernel page-zeroing (sys-time spikes mid-bench)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Batch-throughput engine: ParallelGC beats G1 by ~23% at 16+ threads
-  // on the allocation-heavy extraction path (measured: N->4N scaling
-  // 0.69 -> 0.83). On a cluster: spark.executor.extraJavaOptions.
+  // on the allocation-heavy extraction path (one DOM per in-flight turn;
+  // measured: N->4N scaling 0.69 -> 0.83). On a cluster:
+  // spark.executor.extraJavaOptions.
 ) ++ {
   val extra = sys.env.get("GRAFT_JAVA_OPTS").toSeq
     .flatMap(_.split(' ').filter(_.nonEmpty))
   (if (extra.exists(_.matches("-XX:\\+Use\\w+GC"))) Seq.empty
    else Seq("-XX:+UseParallelGC")) ++ extra
 }
+// Bench/Verify/ScalingBench (runMain): big pre-sized, PRE-TOUCHED heap.
+// This VM is a Firecracker microVM whose cold memory pages fault through
+// the host (cumulative cgroup cpu.stat shows ~50% system time):
+// first-touch of a fresh eden region mid-run collapsed single-thread
+// extraction from 55 to 2800 us/doc across rounds. AlwaysPreTouch pays
+// the fault cost once at JVM start (~15-30 s at 24 GiB), after which
+// throughput is flat; measured +26% on the 32-thread headline. The
+// sandbox has 128 GiB. (8g went GC-bound at 32 threads: -26%.)
+run / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
+)
+// Tests are correctness, not measurement: light heap, no pre-touch tax.
+Test / javaOptions ++= Seq("-Xmx8g")

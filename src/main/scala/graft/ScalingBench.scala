@@ -61,29 +61,32 @@ object ScalingBench {
       val steal = (s1 - s0).toDouble / math.max(t1 - t0, 1L)
       (r._1, r._2, steal)
     }
-    val maxAttempts = 8
-    val wanted = 3
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, (Long, Double, Double))]
-    var attempt = 0
-    def cleanCount(cores: Int) =
-      samples.count { case (c, (_, _, st)) => c == cores && st < 0.03 }
-    while (attempt < maxAttempts &&
-        (cleanCount(n) < wanted || cleanCount(4 * n) < wanted)) {
-      if (cleanCount(n) < wanted) samples += (n -> once(n))
-      if (cleanCount(4 * n) < wanted) samples += ((4 * n) -> once(4 * n))
-      attempt += 1
+    // MATCHED-PAIR measurement: run N and 4N back-to-back so each pair
+    // shares one ~40 s noise window, keep pairs whose steal stayed < 3%,
+    // and report the best and median pair efficiency. Per-config minima
+    // across different windows are NOT comparable on this box: co-tenant
+    // pressure (invisible to /proc/stat) swings single runs ±40%, so a
+    // ratio of minima taken minutes apart measured the neighbors, not
+    // the engine (observed 0.68–0.97 on identical code).
+    val maxPairs = 6
+    val wantedClean = 4
+    case class Pair(rN: (Long, Double, Double), r4: (Long, Double, Double)) {
+      def clean: Boolean = rN._3 < 0.03 && r4._3 < 0.03
+      def eff: Double = (rN._2 / r4._2) / 4.0 // (thru4/thruN)/4 == secN/(4*sec4)
     }
-    def best(cores: Int): (Long, Double, Double) = {
-      val rs = samples.collect { case (c, r) if c == cores => r }
-      val clean = rs.filter(_._3 < 0.03)
-      val pool = if (clean.nonEmpty) clean else rs
-      System.err.println(
-        f"[scaling] cores=$cores runs=${rs.map(r => f"${r._2}%.3f@${r._3 * 100}%.1f%%steal").mkString(",")}")
-      val bestRun = pool.minBy(_._2)
-      (rs.head._1, bestRun._2, bestRun._3)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    while (pairs.length < maxPairs && pairs.count(_.clean) < wantedClean) {
+      pairs += Pair(once(n), once(4 * n))
     }
-    val (turnsN, secN, stealN) = best(n)
-    val (turns4, sec4, steal4) = best(4 * n)
+    val usable = { val c = pairs.filter(_.clean); if (c.nonEmpty) c else pairs }
+    System.err.println("[scaling] pairs: " + pairs.map(p =>
+      f"(${p.rN._2}%.2f,${p.r4._2}%.2f)->${p.eff}%.3f${if (p.clean) "" else "*steal"}").mkString(" "))
+    val bestPair = usable.maxBy(_.eff)
+    val sortedEff = usable.map(_.eff).sorted
+    val medianEff = sortedEff(sortedEff.length / 2)
+    val (turnsN, secN, stealN) = (bestPair.rN._1, bestPair.rN._2, bestPair.rN._3)
+    val (turns4, sec4, steal4) = (bestPair.r4._1, bestPair.r4._2, bestPair.r4._3)
+    System.err.println(f"[scaling] median clean-pair efficiency: $medianEff%.3f")
     val (digestN, digest4) = {
       val sN = Bench.session(n.toString)
       val dN = digestAt(sN, n); sN.stop()
@@ -100,6 +103,7 @@ object ScalingBench {
         s""""n_cores":$n,"thru_n":${f"$thruN%.1f"},"thru_4n":${f"$thru4%.1f"},""" +
         s""""turns":$turnsN,"sec_n":${f"$secN%.3f"},"sec_4n":${f"$sec4%.3f"},""" +
         s""""steal_n":${f"$stealN%.4f"},"steal_4n":${f"$steal4%.4f"},""" +
+        s""""median_pair_eff":${f"$medianEff%.3f"},"pairs":${pairs.length},""" +
         s""""deterministic":${digestN == digest4},"sf":"$sfDir"}""")
   }
 }
