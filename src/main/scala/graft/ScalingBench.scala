@@ -81,12 +81,16 @@ object ScalingBench {
     val usable = { val c = pairs.filter(_.clean); if (c.nonEmpty) c else pairs }
     System.err.println("[scaling] pairs: " + pairs.map(p =>
       f"(${p.rN._2}%.2f,${p.r4._2}%.2f)->${p.eff}%.3f${if (p.clean) "" else "*steal"}").mkString(" "))
-    val bestPair = usable.maxBy(_.eff)
-    val sortedEff = usable.map(_.eff).sorted
-    val medianEff = sortedEff(sortedEff.length / 2)
-    val (turnsN, secN, stealN) = (bestPair.rN._1, bestPair.rN._2, bestPair.rN._3)
-    val (turns4, sec4, steal4) = (bestPair.r4._1, bestPair.r4._2, bestPair.r4._3)
-    System.err.println(f"[scaling] median clean-pair efficiency: $medianEff%.3f")
+    // HEADLINE = the MEDIAN pair: the best pair systematically rewards a
+    // contended N window (slow N inflates the ratio), the worst rewards a
+    // contended 4N window; the median is the defensible estimate.
+    val byEff = usable.sortBy(_.eff)
+    val medianPair = byEff(byEff.length / 2)
+    val medianEff = medianPair.eff
+    val bestEff = byEff.last.eff
+    val (turnsN, secN, stealN) = (medianPair.rN._1, medianPair.rN._2, medianPair.rN._3)
+    val (turns4, sec4, steal4) = (medianPair.r4._1, medianPair.r4._2, medianPair.r4._3)
+    System.err.println(f"[scaling] median clean-pair efficiency: $medianEff%.3f (best $bestEff%.3f)")
     val (digestN, digest4) = {
       val sN = Bench.session(n.toString)
       val dN = digestAt(sN, n); sN.stop()
@@ -97,13 +101,13 @@ object ScalingBench {
     require(turnsN == turns4, "row counts differ across parallelism")
     val thruN = turnsN / secN
     val thru4 = turns4 / sec4
-    val eff = (thru4 / thruN) / 4.0
+    val eff = (thru4 / thruN) / 4.0 // == medianPair.eff
     println(
       s"""{"metric":"scaling efficiency N->4N","value":${f"$eff%.3f"},"unit":"ratio",""" +
         s""""n_cores":$n,"thru_n":${f"$thruN%.1f"},"thru_4n":${f"$thru4%.1f"},""" +
         s""""turns":$turnsN,"sec_n":${f"$secN%.3f"},"sec_4n":${f"$sec4%.3f"},""" +
         s""""steal_n":${f"$stealN%.4f"},"steal_4n":${f"$steal4%.4f"},""" +
-        s""""median_pair_eff":${f"$medianEff%.3f"},"pairs":${pairs.length},""" +
+        s""""best_pair_eff":${f"$bestEff%.3f"},"pairs":${pairs.length},""" +
         s""""deterministic":${digestN == digest4},"sf":"$sfDir"}""")
   }
 }
