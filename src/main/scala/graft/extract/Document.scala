@@ -41,4 +41,9 @@ final class Document(
 object Document {
   def apply(input: String, url: String = null): Document =
     new Document(input, url)
+
+  /** Byte-payload entry point: charset-sniff + decode like the
+    * reference's `build_doc` (htmls.py:11-17, encoding.py:4-23). */
+  def apply(input: Array[Byte], url: String): Document =
+    new Document(Encodings.decodePage(input), url)
 }
