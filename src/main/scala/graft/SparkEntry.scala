@@ -123,6 +123,26 @@ object SparkEntry {
         "n_candidates")
     }),
 
+    // ---- charset sniffing (S2) over synthesized byte payloads ----
+    "charset_detect" -> ((s, dir) => {
+      import s.implicits._
+      // four deterministic payload classes exercise every detector branch
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes = (id % 4) match {
+            case 0 => (text + " café жизнь résumé")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 1 => (s"жизнь прекрасна и удивительна номер $id " * 10)
+              .getBytes(java.nio.charset.Charset.forName("windows-1251"))
+            case 2 => (s"der große bär läuft über die straße nummer $id " * 10)
+              .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+            case _ => s"n$id".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          }
+          (id, graft.extract.Encodings.getEncoding(bytes))
+        }.toDF("doc_id", "detected")
+    }),
+
     // ---- titles (F3-F6) ----
     "titles" -> ((s, dir) => {
       import s.implicits._
@@ -293,6 +313,11 @@ object SparkEntry {
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
         "ON d.doc_id = k.doc_id"),
+    "charset_detect" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
+        "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' " +
+        "WHEN 2 THEN 'windows-1252' ELSE 'ascii' END AS detected " +
+        "FROM documents"),
     // Multimodal stubs are deterministic functions of (doc_id, utf8 byte
     // length of text) — fully SQL-expressible despite the binary plumbing.
     "multimodal_resize" ->
