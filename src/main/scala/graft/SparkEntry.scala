@@ -194,6 +194,7 @@ object SparkEntry {
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "lang_id_classes" -> ((s, dir) => TextAnalysis.langIdClasses(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
 
     // ---- multimodal plumbing (stubbed codecs; Spark plumbing real) ----
@@ -313,6 +314,11 @@ object SparkEntry {
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
         "ON d.doc_id = k.doc_id"),
+    "lang_id_classes" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) " +
+        "WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' " +
+        "WHEN 3 THEN 'de' WHEN 4 THEN 'zh' ELSE 'und' END AS predicted_lang " +
+        "FROM documents"),
     "charset_detect" ->
       ("SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
         "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' " +

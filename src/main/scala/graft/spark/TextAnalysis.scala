@@ -37,20 +37,45 @@ object TextAnalysis {
     * stopword hits). A real corpus would use char n-gram profiles — the
     * operator shape (per-row scoring against a tiny broadcast profile
     * table) is the same. */
+  /** Shared prediction kernel (used by both the corpus query and the
+    * oracle-checked class query). */
+  def predict(text: String): (String, Double) = {
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val total = math.max(words.length, 1)
+    val scores = stopwords.map { case (lang, s) =>
+      lang -> words.count(s.contains).toDouble / total
+    }
+    val best = scores.maxBy { case (l, v) => (v, l) }
+    (if (best._2 > 0) best._1 else "und", best._2)
+  }
+
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)]
-    val sw = stopwords // serialized into the closure (tiny)
     docs.map { case (id, text) =>
-      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-      val total = math.max(words.length, 1)
-      val scores = sw.map { case (lang, s) =>
-        lang -> words.count(s.contains).toDouble / total
-      }
-      val best = scores.maxBy { case (l, v) => (v, l) }
-      (id, if (best._2 > 0) best._1 else "und", best._2)
+      val (lang, ratio) = predict(text)
+      (id, lang, ratio)
     }.toDF("doc_id", "predicted_lang", "stopword_ratio")
+  }
+
+  /** Discriminating lang-ID check: deterministic stopword-rich payloads,
+    * one language class per doc_id % 6 (the real corpus is all-English,
+    * which would make an oracle vacuous). Class 5 has no stopwords at
+    * all → 'und'. */
+  def langIdClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Vector("en", "es", "fr", "de", "zh")
+    val sw = stopwords
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val cls = (id % 6).toInt
+        val payload =
+          if (cls == 5) s"zyx$id wvu$id tsr$id qpo$id"
+          else (sw(langs(cls)).mkString(" ") + " ") * 5 + s"filler$id"
+        (id, TextAnalysis.predict(payload)._1)
+      }.toDF("doc_id", "predicted_lang")
   }
 
   /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
