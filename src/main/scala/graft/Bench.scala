@@ -27,13 +27,17 @@ object Bench {
   }
 
   /** Extraction throughput: turns/sec over turnsPerDoc× the documents
-    * table through the full bucketed ExtractJob. */
+    * table through the full bucketed ExtractJob. `preBucketed = true`
+    * measures the production-on-Iceberg shape (bucket(B, conv_id) scan ⇒
+    * exchange elided, map-only). */
   def extractionThroughput(spark: SparkSession, sfDir: String,
-      turnsPerDoc: Int, buckets: Int): (Long, Double) = {
+      turnsPerDoc: Int, buckets: Int, preBucketed: Boolean = false): (Long, Double) = {
     val turns = TranscriptGen.turns(spark, sfDir, turnsPerDoc)
     val t0 = System.nanoTime()
-    val n = ExtractJob.run(spark, turns, buckets).extracted
-      .filter(_.extracted_text != null).count()
+    val job =
+      if (preBucketed) ExtractJob.runPreBucketed(spark, turns, buckets)
+      else ExtractJob.run(spark, turns, buckets)
+    val n = job.extracted.filter(_.extracted_text != null).count()
     (n, (System.nanoTime() - t0) / 1e9)
   }
 

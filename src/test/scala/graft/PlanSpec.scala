@@ -92,6 +92,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected partition-local sort\n" + plan)
   }
 
+  test("pre-bucketed extraction (Iceberg shape): zero exchanges, same results") {
+    val s = spark
+    import s.implicits._
+    val turns = (0 until 64).map { i =>
+      Turn(TranscriptGen.convOf(i.toLong), i, "assistant",
+        TranscriptGen.htmlWrap(i.toLong, "some words for the extractor " * 20),
+        "", new java.sql.Timestamp(TranscriptGen.FixedEpochMs))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("planspec-pb").toString
+    s.createDataset(turns).write.mode("overwrite").parquet(s"$tmp/turns")
+    val input = spark.read.parquet(s"$tmp/turns").as[Turn]
+    val pb = ExtractJob.runPreBucketed(spark, input, numBuckets = 8).extracted.toDF()
+    val plan = finalPlan(pb)
+    assert(!plan.contains("Exchange"), "pre-bucketed path must be map-only\n" + plan)
+    // identical results to the exchange path
+    val a = pb.select("conv_id", "turn_idx", "extracted_text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = ExtractJob.run(spark, input, numBuckets = 8).extracted.toDF()
+      .select("conv_id", "turn_idx", "extracted_text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+  }
+
   test("ANN brute force: query side broadcast, corpus side never shuffled") {
     val plan = finalPlan(SparkEntry.queries("ann_cosine_topk")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
