@@ -29,6 +29,10 @@ object Serializer {
 
   private val rawText = Set("script", "style")
 
+  /** Tags whose text serializes RAW (unescaped) — load-bearing for
+    * Extractor.childrenMatchBlockRegex's serialize-equivalence. */
+  def isRawText(tag: String): Boolean = rawText.contains(tag)
+
   private def write(n: Node, sb: java.lang.StringBuilder, includeTail: Boolean): Unit = {
     if (n.isComment) {
       sb.append("<!--").append(if (n.text == null) "" else n.text).append("-->")

@@ -403,9 +403,39 @@ object Extractor {
     * block; running the regex on serialized children preserves that. */
   def transformMisusedDivs(doc: Node): Unit = {
     doc.findAll("div").foreach { elem =>
-      if (!Regexes.search(Regexes.divToPElements, Serializer.serializeChildren(elem)))
+      if (!childrenMatchBlockRegex(elem))
         elem.tag = "p"
     }
+  }
+
+  // memo: tag name -> does "<tag" match divToPElementsRe (tags repeat
+  // endlessly; the set is tiny)
+  private val tagBlockish = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Tree-walk equivalent of `search(divToPElementsRe,
+    * serializeChildren(elem))` — the reference serializes each div's
+    * children and regex-scans the HTML (readability.py:361-367), which is
+    * O(subtree) allocation per div and quadratic on nested divs. The
+    * serialized string can only match at: element OPEN tags (`<tag…`;
+    * close tags `</` never match), raw comment/PI text, and raw-text
+    * (script/style) content — everything else escapes `<` as `&lt;`
+    * (dom/Serializer). So we scan the tree and apply the SAME compiled
+    * pattern to exactly those fragments. Equivalence is property-tested
+    * against the serialize-based oracle (TransformSpec). */
+  private def childrenMatchBlockRegex(elem: Node): Boolean = {
+    def matches(n: Node): Boolean = {
+      if (n.isComment || n.isPi)
+        n.text != null && Regexes.search(Regexes.divToPElements, n.text)
+      else {
+        val tagHit = tagBlockish.computeIfAbsent(n.tag,
+          t => Regexes.search(Regexes.divToPElements, "<" + t))
+        tagHit == java.lang.Boolean.TRUE ||
+          (Serializer.isRawText(n.tag) && n.text != null &&
+            Regexes.search(Regexes.divToPElements, n.text)) ||
+          n.children.exists(matches)
+      }
+    }
+    elem.children.exists(matches)
   }
 
   // ---------- A3/A4: score_paragraphs ----------
