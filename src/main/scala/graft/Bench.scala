@@ -68,13 +68,23 @@ object Bench {
     val extractSec = runs.map(_._2).min
     val turnsPerSec = turns / extractSec
 
+    // second face: production-on-Iceberg shape (bucket(B, conv_id) scan,
+    // exchange elided — ExtractJob.runPreBucketed), min-of-3
+    val pbRuns = (1 to 3).map { _ =>
+      extractionThroughput(spark, sfDir, turnsPerDoc = tpd,
+        buckets = cpus.toInt * 4, preBucketed = true)
+    }
+    val pbSec = pbRuns.map(_._2).min
+    val pbPerSec = pbRuns.head._1 / pbSec
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"extracted turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"turns/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","queries_total_sec":${f"$total%.3f"},""" +
-        s""""extract_turns":$turns,"extract_sec":${f"$extractSec%.3f"},"cpus":$cpus}""")
+        s""""extract_turns":$turns,"extract_sec":${f"$extractSec%.3f"},""" +
+        s""""prebucketed_turns_per_sec":${f"$pbPerSec%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }
