@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
   * sizes N and 4N; sandbox stand-in per BASELINE.md: identical input and
   * seed at local[N] vs local[4N]).
   *
-  * Runs the identical extraction job at local[N] then local[4N] in one
-  * JVM (sessions stopped between runs), prints one JSON line with both
-  * throughputs and the efficiency `(thru_4N / thru_N) / 4`, and verifies
-  * the two outputs are identical under stable (conv_id, turn_idx)
-  * ordering (determinism across parallelism).
+  * Protocol (see BENCH.md "Measurement protocol"): matched pairs — N and
+  * 4N run back-to-back in one noise window, samples under ≥3% hypervisor
+  * steal rejected, the MEDIAN clean pair reported (plus the best). Both
+  * pipeline faces are measured: the salted bucket exchange and the
+  * pre-bucketed map-only (Iceberg) shape. Verifies output determinism
+  * across parallelism under stable (conv_id, turn_idx) ordering.
   */
 object ScalingBench {
 
@@ -41,12 +42,6 @@ object ScalingBench {
         .as[Long].reduce(_ ^ _)
     }
 
-    // INTERLEAVED, STEAL-AWARE measurement: alternate N / 4N so noise
-    // windows hit both configs equally, and reject samples taken under
-    // hypervisor steal (this sandbox shows 0-31% steal swinging by the
-    // minute; a sequential 3×N-then-3×4N protocol measured efficiency
-    // anywhere between 0.68 and 0.97 on identical code). A sample is
-    // KEPT when steal during its window is < 3%; min per config wins.
     def cpuStat(): (Long, Long) = {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val v = line.split("\\s+").drop(1).map(_.toLong)
