@@ -82,6 +82,12 @@ object SparkEntry {
           |       extract_readable(text).text AS extracted_text
           |FROM graft_turns""".stripMargin)
     }),
+    "extract_plan_surface" -> ((s, dir) => {
+      // the custom LogicalPlan + Strategy face: ExtractTurnsNode planned
+      // to ExtractTurnsExec (EXPLAIN-visible whole-operator extraction)
+      GraftOps.extractTurns(TranscriptGen.roundtripTurns(s, dir, MinChars).toDF())
+        .selectExpr("CAST(turn_idx AS BIGINT) AS doc_id", "extracted_text")
+    }),
     "extract_multipage" -> ((s, dir) => {
       // 2k/J3/W4 end-to-end: page 1 links to page 2 through an in-memory
       // fetcher; combined text = page1 + page2 (oracle below). A third
@@ -277,6 +283,11 @@ object SparkEntry {
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
         s"FROM documents WHERE n_chars >= $MinChars"),
     "extract_sql_surface" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
+        s"FROM documents WHERE n_chars >= $MinChars"),
+    "extract_plan_surface" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +

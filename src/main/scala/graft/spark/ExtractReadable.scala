@@ -88,5 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotF64].getName, null, "dot_f64",
           "_FUNC_(a, b) - sequential double dot product of two float/double arrays", ""),
         (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => ExtractTurnsStrategy)
   }
 }

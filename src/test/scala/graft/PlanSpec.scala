@@ -115,6 +115,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("custom plan face: ExtractTurnsNode plans to ExtractTurnsExec, no exchange, equal results") {
+    val s = spark
+    import s.implicits._
+    val turns = (0 until 48).map { i =>
+      Turn(TranscriptGen.convOf(i.toLong), i, "assistant",
+        TranscriptGen.htmlWrap(i.toLong, "words for the custom plan face " * 15),
+        "", new java.sql.Timestamp(TranscriptGen.FixedEpochMs))
+    }
+    val df = graft.spark.GraftOps.extractTurns(s.createDataset(turns).toDF())
+    val plan = finalPlan(df)
+    // physical nodes print without the Exec suffix; '!' would mark a
+    // missing-input (invalid) node
+    assert(plan.contains("ExtractTurns ") && !plan.contains("!ExtractTurns"),
+      plan.take(400))
+    assert(!plan.contains("Exchange"), "custom operator must not introduce a shuffle\n" + plan)
+    val viaPlan = df.select("conv_id", "turn_idx", "extracted_text")
+      .as[(String, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val viaTyped = turns.map { t =>
+      val r = ExtractJob.extractTurn(t, graft.extract.ExtractOptions())
+      (r.conv_id, r.turn_idx, r.extracted_text)
+    }.sortBy(r => (r._1, r._2))
+    assert(viaPlan == viaTyped)
+    // spans survive the InternalRow round-trip
+    val spans = df.selectExpr("size(spans)").as[Int].collect()
+    assert(spans.forall(_ > 0))
+  }
+
   test("ANN brute force: query side broadcast, corpus side never shuffled") {
     val plan = finalPlan(SparkEntry.queries("ann_cosine_topk")(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
