@@ -319,7 +319,8 @@ object SparkEntry {
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words, " +
         "CAST(length(text) AS BIGINT) AS n_chars_m, " +
         "CAST(floor((length(text) + 3) / 4) AS BIGINT) AS token_estimate, " +
-        "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS the_count " +
+        "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS the_count, " +
+        "CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS token_count_bpe " +
         "FROM documents"),
     "dedup_rewrite" ->
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +

@@ -22,7 +22,12 @@ object TextAnalysis {
         expr("cast(floor((length(text) + 3) / 4) as bigint)").as("token_estimate"),
         // occurrences of ' the ' — divisible-by-5 arithmetic, exact
         expr("cast((length(text) - length(replace(text, ' the ', ''))) / 5 as bigint)")
-          .as("the_count"))
+          .as("the_count"),
+        // BPE-ish regex tokenizer count (GPT-2-style word/number/punct
+        // classes, lookaheads omitted — RE2 in the DuckDB oracle has
+        // none). Codegen'd RegExpExtractAll.
+        expr("cast(size(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +', 0)) as bigint)")
+          .as("token_count_bpe"))
   }
 
   private val stopwords: Map[String, Seq[String]] = Map(
