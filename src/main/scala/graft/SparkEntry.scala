@@ -326,6 +326,9 @@ object SparkEntry {
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +
         "ON d.doc_id = k.doc_id"),
+    "next_page_url" ->
+      ("SELECT doc_id, 'http://example.com/' || source || '/article-' || " +
+        "CAST(doc_id AS VARCHAR) || '.html?page=2' AS next_url FROM documents"),
     "lang_id_classes" ->
       ("SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) " +
         "WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' " +
