@@ -334,6 +334,58 @@ object SparkEntry {
         "WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' " +
         "WHEN 3 THEN 'de' WHEN 4 THEN 'zh' ELSE 'und' END AS predicted_lang " +
         "FROM documents"),
+    // lang_id over the real corpus: the stopword-fraction scorer is plain
+    // relational algebra — per-language word-membership counts, argmax with
+    // the (ratio, lang) lexicographic tie-break of the Scala maxBy.
+    "lang_id" ->
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), " +
+        "s AS (SELECT doc_id, u.lang AS lang, " +
+        "CAST(len(list_filter(ws, x -> list_contains(u.sw, x))) AS DOUBLE) / greatest(len(ws), 1) AS ratio " +
+        "FROM w, unnest([" +
+        "{'lang': 'en', 'sw': ['the','and','of','to','a','in','is','it']}," +
+        "{'lang': 'es', 'sw': ['el','la','de','que','y','en','un','es']}," +
+        "{'lang': 'fr', 'sw': ['le','la','de','et','un','en','est','que']}," +
+        "{'lang': 'de', 'sw': ['der','die','das','und','in','ist','von','ein']}," +
+        "{'lang': 'zh', 'sw': ['de','shi','le','zai','he','you']}]) AS t(u)), " +
+        "b AS (SELECT doc_id, lang, ratio, row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn FROM s) " +
+        "SELECT doc_id, CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS predicted_lang, " +
+        "ratio AS stopword_ratio FROM b WHERE rn = 1"),
+    // Rabin–Karp fingerprint in GF(2^61-1): the exact field arithmetic of
+    // Hash61 replayed in DuckDB HUGEINT (int128 holds the 2^81 products).
+    "doc_fingerprint" ->
+      ("SELECT doc_id, " +
+        "CAST(list_reduce(list_prepend(0::HUGEINT, list_transform(" +
+        "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
+        s"w -> ${graft.spark.Hash61.rawWordHashSql("w")})), " +
+        s"(fh_, fw_) -> (fh_ * 1000003 + fw_) % ${graft.spark.Hash61.M}::HUGEINT) AS BIGINT) AS fingerprint, " +
+        "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words " +
+        "FROM documents"),
+    // decode-stub features are closed-form in (doc_id, text): the media
+    // body is the UTF-8 of the ASCII text column, so the byte checksum is
+    // a character-code fold.
+    "multimodal_decode" ->
+      ("SELECT doc_id, " +
+        "CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width, " +
+        "CAST(64 + (doc_id % 5) * 48 AS INTEGER) AS height, " +
+        "CAST(3 AS INTEGER) AS channels, " +
+        "CAST(length(text) AS INTEGER) AS n_bytes, " +
+        "CAST(list_reduce(list_prepend(0::HUGEINT, list_transform(string_split(text, ''), " +
+        "mc_ -> unicode(mc_)::HUGEINT)), " +
+        s"(ma_, mb_) -> (ma_ * 31 + mb_) % ${graft.spark.Hash61.M}::HUGEINT) AS BIGINT) AS checksum " +
+        "FROM documents"),
+    // spans over the fixed htmlWrap shape: the sanitized article is one
+    // top-level block, so each doc emits exactly one span covering the
+    // whole extracted text.
+    "extract_spans" ->
+      ("SELECT 'conv-' || lpad(CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR), 5, '0') AS conv_id, " +
+        "CAST(doc_id AS INTEGER) AS turn_idx, " +
+        "CAST(0 AS INTEGER) AS block_idx, " +
+        "CAST(0 AS INTEGER) AS \"start\", " +
+        "CAST(length(et) AS INTEGER) AS \"end\", " +
+        "et AS block_text FROM (" +
+        "SELECT doc_id, 'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS et " +
+        s"FROM documents WHERE n_chars >= $MinChars)"),
     "charset_detect" ->
       ("SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
         "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' " +

@@ -58,9 +58,15 @@ object Multimodal {
     val magic = bb.getInt()
     require(magic == 0x47524654, s"bad magic for doc $id")
     val w = bb.getInt(); val h = bb.getInt(); val c = bb.getInt()
+    // polynomial byte checksum in GF(2^61-1): overflow-free on the JVM and
+    // bit-exactly reproducible by the DuckDB oracle (the body is the UTF-8
+    // of an ASCII text column, so bytes == character codes in SQL)
     var checksum = 0L
     var i = 16
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    while (i < bytes.length) {
+      checksum = (Hash61.mulmod(checksum, 31L) + (bytes(i) & 0xff)) % Hash61.M
+      i += 1
+    }
     (id, w, h, c, bytes.length - 16, checksum)
   }
 

@@ -84,10 +84,13 @@ object TextAnalysis {
   }
 
   /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
-    * words. Deterministic pure function of the text. */
+    * words. Deterministic pure function of the text; allocation-free
+    * multiply-mod via [[Hash61.mulmod]] (Math.multiplyHigh + Mersenne
+    * folding — the round-1 BigInteger hot-loop is gone, values unchanged:
+    * Hash61Spec pins equality against the BigInteger reference). */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val M = (1L << 61) - 1
+    val M = Hash61.M
     val B = 1000003L
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)]
@@ -95,16 +98,9 @@ object TextAnalysis {
         val words = text.split("\\s+").filter(_.nonEmpty)
         var h = 0L
         words.foreach { w =>
-          var wh = 0L
-          var i = 0
-          while (i < w.length) { wh = (wh * 131 + w.charAt(i)) % M; i += 1 }
-          h = (mulMod(h, B, M) + wh) % M
+          h = (Hash61.mulmod(h, B) + Hash61.rawWordHash(w)) % M
         }
-        (id, h, words.length)
+        (id, h, words.length.toLong)
       }.toDF("doc_id", "fingerprint", "n_words")
   }
-
-  private def mulMod(a: Long, b: Long, m: Long): Long =
-    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
-      .mod(java.math.BigInteger.valueOf(m)).longValue()
 }
