@@ -107,6 +107,19 @@ object SparkEntry {
         (docId, sum.text)
       }.toDF("doc_id", "extracted_text")
     }),
+    "extract_retry_lenient" -> ((s, dir) => {
+      // 2j under oracle: every doc is a crafted page (TranscriptGen
+      // .retryHtml) whose correct output exists ONLY via the lenient
+      // retry on the mutated DOM — re-parse-from-scratch returns the
+      // decoy, skipping the retry returns the teaser; both fail the
+      // oracle.
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          val sum = Extractor.extract(TranscriptGen.retryHtml(id), ExtractOptions())
+          (id, sum.confidence, sum.text)
+        }.toDF("doc_id", "confidence", "extracted_text")
+    }),
     "dom_transform_stats" -> ((s, dir) => {
       // P2/P4/P5/P8 evidence: per-document counts from each DOM stage
       import s.implicits._
@@ -269,10 +282,83 @@ object SparkEntry {
     }),
   )
 
+  /** Recursive-CTE replay of [[TranscriptGen.chunks]] (the greedy ≥40-char
+    * word-boundary chunker): emits one row per (doc, chunk) with the chunk
+    * length. `Ls` is the 0-prepended prefix sum of word lengths, so the
+    * chunk covering words s..j has length Ls[j+1]−Ls[s]+(j−s); a chunk
+    * ends at the first j where that reaches 40 (the builder flushes at
+    * sb.length ≥ 40), the leftover tail is shorter. Everything scoring
+    * (n_candidates, confidence = 30 + 2·k25) and DOM-shape derived
+    * (nodes_parsed = 17 + k) follows from these lengths. */
+  private def chunkerCte(where: String): String =
+    "WITH RECURSIVE " +
+      s"d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents $where), " +
+      "px AS (SELECT doc_id, list_prepend(0::BIGINT, list(L ORDER BY i)) AS Ls, max(i) AS nw " +
+      "FROM (SELECT doc_id, i, SUM(length(ws[i])) OVER (PARTITION BY doc_id ORDER BY i) AS L " +
+      "FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM d)) GROUP BY doc_id), " +
+      "ch AS (" +
+      "SELECT doc_id, 0 AS blk, 1 AS s, 0::BIGINT AS chunk_len, Ls, nw FROM px " +
+      "UNION ALL " +
+      "SELECT doc_id, blk + 1, " +
+      "coalesce(list_filter(range(s, nw + 1), j -> Ls[j + 1] - Ls[s] + (j - s) >= 40)[1], nw) + 1, " +
+      "Ls[coalesce(list_filter(range(s, nw + 1), j -> Ls[j + 1] - Ls[s] + (j - s) >= 40)[1], nw) + 1] - Ls[s] " +
+      "+ coalesce(list_filter(range(s, nw + 1), j -> Ls[j + 1] - Ls[s] + (j - s) >= 40)[1], nw) - s, " +
+      "Ls, nw FROM ch WHERE s <= nw), " +
+      "k AS (SELECT doc_id, count(*) AS k_total, " +
+      "count(*) FILTER (WHERE chunk_len >= 25) AS k25 " +
+      "FROM ch WHERE blk > 0 GROUP BY doc_id) "
+
   /** DuckDB-equivalent SQL per oracle-checkable query. Column names match
     * the Spark side exactly (driver hashes after sorting columns by
     * name). */
   def oracleSql: Map[String, String] = Map(
+    // A3/A4/W1 evidence: winning-candidate score = class_weight(+25) +
+    // div prior(+5) + Σ per-scoring-paragraph (1 + len(split(','))=1 + 0)
+    // = 30 + 2·k25 over the comma-free corpus; decile histogram of that.
+    "extract_confidence_hist" ->
+      (chunkerCte(s"WHERE n_chars >= $MinChars") +
+        "SELECT CAST(floor((30 + 2 * k25) / 10) AS BIGINT) AS confidence_decile, " +
+        "count(*) AS cnt FROM k GROUP BY 1"),
+    // P2/P4/P5/P8 stage counts over the fixed wrap: 17 boilerplate
+    // elements + k paragraphs parsed; the sidebar subtree (7 elements)
+    // is the only unlikely-candidates removal; no div is ever retagged
+    // (every div has a block child per divToPElementsRe — incl. the
+    // anchors-count-as-block quirk on the promo div); candidates are
+    // always {content div, wrap div}.
+    "dom_transform_stats" ->
+      (chunkerCte(s"WHERE n_chars >= $MinChars") +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CAST(17 + k_total AS BIGINT) AS nodes_parsed, " +
+        "CAST(7 AS BIGINT) AS removed_unlikely, " +
+        "CAST(0 AS BIGINT) AS divs_retagged, " +
+        "CAST(2 AS BIGINT) AS n_candidates FROM k"),
+    // 2j: the crafted retry page — constant-form expected output that is
+    // only reachable via lenient-retry-on-the-mutated-DOM (see
+    // TranscriptGen.retryHtml scaladoc for why both failure modes differ).
+    "extract_retry_lenient" ->
+      ("SELECT doc_id, CAST(27.0 AS DOUBLE) AS confidence, " +
+        "'retry winner part one for document ' || CAST(doc_id AS VARCHAR) || " +
+        "' stays retry winner part two for document ' || CAST(doc_id AS VARCHAR) || " +
+        "' stays' AS extracted_text FROM documents"),
+    // The FULL pipeline incl. both retry-loop outcomes (2j): an assistant
+    // turn is accepted iff its serialized article HTML reaches
+    // retry_length=250 — htmlLen = 74 + digits(doc_id) + 6k + n_chars over
+    // the fixed wrap; a rejected ruthless pass has already MOVED the
+    // candidate into the discarded article (lxml mutation semantics), so
+    // the lenient retry finds nothing and yields (0.0, ''). User turns
+    // carry plain text (no candidates at all) — same empty outcome.
+    "extract_flagship" ->
+      (chunkerCte("") +
+        ", f AS (SELECT d2.doc_id, d2.text, d2.n_chars, k.k_total, k.k25, " +
+        "length(CAST(d2.doc_id AS VARCHAR)) AS dd FROM documents d2 JOIN k ON d2.doc_id = k.doc_id) " +
+        "SELECT 'conv-' || lpad(CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR), 5, '0') AS conv_id, " +
+        "CAST((doc_id % 1000) * 2 + i AS INTEGER) AS turn_idx, " +
+        "CAST(CASE WHEN i = 0 AND 74 + dd + 6 * k_total + n_chars >= 250 " +
+        "THEN 30 + 2 * k25 ELSE 0 END AS DOUBLE) AS confidence, " +
+        "CASE WHEN i = 0 AND 74 + dd + 6 * k_total + n_chars >= 250 " +
+        "THEN 'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || text ELSE '' END AS extracted_text, " +
+        "false AS failed " +
+        "FROM f, unnest([0, 1]) AS t(i)"),
     // The extraction engine's end-to-end oracle: the HTML wrap built by
     // TranscriptGen.htmlWrap is boilerplate + the document text; a correct
     // readability extraction returns exactly the heading + the

@@ -64,6 +64,39 @@ object TranscriptGen {
       "both the paragraph length gate and the retry length gate of the " +
       "readability pipeline comfortably and deterministically"
 
+  /** A page whose correct extraction REQUIRES the ruthless→lenient retry
+    * on the SAME MUTATED DOM (readability.py:634-667, SURVEY.md §2j):
+    *
+    *  - div.pagination (decoy): matches unlikelyCandidatesRe ⇒ dropped by
+    *    the ruthless pass; its class also matches positiveRe (+25) and its
+    *    long paragraph scores 35 — a from-scratch lenient re-parse would
+    *    WRONGLY return it.
+    *  - div.article-content (teaser): wins the ruthless pass (score 32)
+    *    but its article HTML is < retry_length=250 ⇒ rejected; the merge
+    *    step has already MOVED it into the discarded article (lxml append
+    *    semantics), so it is gone from the retry DOM. A no-retry engine
+    *    would WRONGLY return it.
+    *  - div.block (winner): neutral class, two ≥25-char paragraphs,
+    *    score 9 < max(10, 0.2·32) so the ruthless sibling merge leaves it
+    *    in place — the only content the lenient retry can see.
+    *
+    * The retry's best candidate is then BODY at 25 + 4/2 = 27: P3 injected
+    * id="readabilityBody" (readability.py:637-638) and positiveRe matches
+    * "body" (+25) — a genuine reference quirk this query pins. Expected
+    * output: the winner's text at confidence 27.0 — wrong under either
+    * retry-from-scratch (decoy wins at 35) or no-retry (teaser at 32)
+    * semantics. */
+  def retryHtml(id: Long): String = {
+    val decoy = ("decoy text for document " + id + " ") * 12 +
+      "long enough that a from-scratch lenient pass would pick it"
+    s"""<html><body>""" +
+      s"""<div class="pagination"><p>$decoy</p></div>""" +
+      s"""<div class="article-content"><p>teaser paragraph for document $id under the retry gate</p></div>""" +
+      s"""<div class="block"><p>retry winner part one for document $id stays</p>""" +
+      s"""<p>retry winner part two for document $id stays</p></div>""" +
+      "</body></html>"
+  }
+
   /** Conversation id for a document: skewed sizes — conversation k holds
     * documents [k², (k+1)²), so conversation k has 2k+1 documents. */
   def convOf(docId: Long): String = {
