@@ -308,10 +308,78 @@ object SparkEntry {
       "count(*) FILTER (WHERE chunk_len >= 25) AS k25 " +
       "FROM ch WHERE blk > 0 GROUP BY doc_id) "
 
+  /** Per-doc word-hash lists in GF(2^61-1) — the shared head of every
+    * signature-kernel oracle (minhash/simhash/jaccard), replaying
+    * [[graft.spark.Hash61.wordHash]] exactly in HUGEINT. */
+  private def wordHashCte: String = {
+    import graft.spark.Hash61
+    "WITH wdocs AS (SELECT doc_id, list_transform(" +
+      "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
+      s"w -> ${Hash61.wordHashSql("w")}) AS whs FROM documents)"
+  }
+
   /** DuckDB-equivalent SQL per oracle-checkable query. Column names match
     * the Spark side exactly (driver hashes after sorting columns by
     * name). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    import graft.spark.Hash61
+    Map(
+    // 60-bit SimHash end-to-end: per-bit majority votes over the word
+    // hashes, 4×15-bit banding, ≤64 bucket cap, Hamming ≤ 6 pairs.
+    "dedup_simhash" ->
+      (wordHashCte +
+        ", f AS (SELECT doc_id, CAST(list_reduce(list_prepend(0::HUGEINT, " +
+        "list_transform(range(0, 60), b -> CASE WHEN " +
+        "2 * list_reduce(list_prepend(0::HUGEINT, list_transform(whs, hh -> (hh >> b) & 1::HUGEINT)), (x, y) -> x + y) " +
+        "> len(whs) THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)), (x, y) -> x + y) AS BIGINT) AS fp " +
+        "FROM wdocs WHERE len(whs) > 0), " +
+        "bd AS (SELECT doc_id, fp, b AS band_idx, (fp >> (b * 15)) & 32767 AS band " +
+        "FROM f, unnest([0, 1, 2, 3]) AS t(b)), " +
+        "sz AS (SELECT band_idx, band, count(*) AS bsz FROM bd GROUP BY 1, 2), " +
+        "bf AS (SELECT bd.doc_id, bd.fp, bd.band_idx, bd.band FROM bd " +
+        "JOIN sz USING (band_idx, band) WHERE bsz <= 64) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming " +
+        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx AND a.band = b2.band " +
+        "AND a.doc_id < b2.doc_id WHERE bit_count(xor(a.fp, b2.fp)) <= 6"),
+    // MinHash+LSH end-to-end: 16 per-seed minima over the 3-shingle
+    // hashes, 4 banded fold-hashes, cap, equi-join, matching-position
+    // count per surviving pair.
+    "dedup_minhash_lsh" ->
+      (wordHashCte +
+        ", sh AS (SELECT doc_id, list_transform(range(1, len(whs) - 1), " +
+        s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")}) AS shs " +
+        "FROM wdocs WHERE len(whs) >= 3), " +
+        "sg AS (SELECT doc_id, list_transform(range(0, 16), s -> " +
+        s"list_reduce(list_transform(shs, q -> ${Hash61.mixSql(s"xor(q, ${Hash61.mixSql("s + 1")})")}), " +
+        "(x, y) -> least(x, y))) AS sig FROM sh WHERE len(shs) > 0), " +
+        "bn AS (SELECT doc_id, sig, b AS band_idx, " +
+        "list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 4), r -> sig[b * 4 + r + 1])), " +
+        s"(x, y) -> ${Hash61.mixSql("xor(x, y)")}) AS band_hash " +
+        "FROM sg, unnest([0, 1, 2, 3]) AS t(b)), " +
+        "sz AS (SELECT band_idx, band_hash, count(*) AS bsz FROM bn GROUP BY 1, 2), " +
+        "bf AS (SELECT bn.doc_id, bn.sig, bn.band_idx, bn.band_hash FROM bn " +
+        "JOIN sz USING (band_idx, band_hash) WHERE bsz <= 64) " +
+        "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
+        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
+        "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id"),
+    // Exact n-gram Jaccard via the same inverted-index plan: distinct
+    // 3-shingles, document-frequency cap, pair-shared counts, Jaccard.
+    "dedup_ngram_jaccard" ->
+      (wordHashCte +
+        ", g AS (SELECT doc_id, grams, len(grams) AS n_grams FROM (" +
+        "SELECT doc_id, list_distinct(list_transform(range(1, len(whs) - 1), " +
+        s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")})) AS grams " +
+        "FROM wdocs WHERE len(whs) >= 3) WHERE len(grams) > 0), " +
+        "p AS (SELECT doc_id, unnest(grams) AS gram FROM g), " +
+        "rare AS (SELECT gram FROM p GROUP BY gram HAVING count(*) <= 64), " +
+        "fp2 AS (SELECT p.doc_id, p.gram FROM p JOIN rare USING (gram)), " +
+        "shared AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS shared " +
+        "FROM fp2 a JOIN fp2 b2 ON a.gram = b2.gram AND a.doc_id < b2.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, CAST(shared AS DOUBLE) / (na.n_grams + nb.n_grams - shared) AS jaccard " +
+        "FROM shared JOIN g na ON na.doc_id = doc_a JOIN g nb ON nb.doc_id = doc_b " +
+        "WHERE CAST(shared AS DOUBLE) / (na.n_grams + nb.n_grams - shared) > 0.2"),
     // A3/A4/W1 evidence: winning-candidate score = class_weight(+25) +
     // div prior(+5) + Σ per-scoring-paragraph (1 + len(split(','))=1 + 0)
     // = 30 + 2·k25 over the comma-free corpus; decile histogram of that.
@@ -534,5 +602,6 @@ object SparkEntry {
       ("SELECT user_id, event_type FROM (" +
         "SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events) t WHERE rn = 1"),
-  )
+    )
+  }
 }

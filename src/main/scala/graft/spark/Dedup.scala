@@ -30,42 +30,33 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
   }
 
-  // splitmix64 — deterministic, seed-free mixing for all signature kernels
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // All signature kernels hash in GF(2^61-1) via Hash61 (round 2): same
+  // banding/join shapes as round 1, but every kernel is now bit-exactly
+  // reproducible in DuckDB HUGEINT — minhash/simhash/jaccard gained full
+  // SQL oracles (SparkEntry.oracleSql), which 64-bit wrapping mixers
+  // could not support.
 
-  private def wordHashes(text: String): Array[Long] = {
+  private[spark] def wordHashes(text: String): Array[Long] = {
     val words = text.split("\\s+")
     val out = new Array[Long](words.length)
     var n = 0
     var i = 0
     while (i < words.length) {
       val w = words(i)
-      if (w.nonEmpty) {
-        var h = 1125899906842597L
-        var j = 0
-        while (j < w.length) { h = 31 * h + w.charAt(j); j += 1 }
-        out(n) = mix64(h)
-        n += 1
-      }
+      if (w.nonEmpty) { out(n) = Hash61.wordHash(w); n += 1 }
       i += 1
     }
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  /** Word-3-shingle hashes. */
-  private def shingleHashes(text: String): Array[Long] = {
+  /** Word-3-shingle hashes (order-sensitive, field-valued). */
+  private[spark] def shingleHashes(text: String): Array[Long] = {
     val wh = wordHashes(text)
     if (wh.length < 3) return Array.empty
     val out = new Array[Long](wh.length - 2)
     var i = 0
     while (i + 2 < wh.length) {
-      out(i) = mix64(wh(i) ^ java.lang.Long.rotateLeft(wh(i + 1), 21) ^
-        java.lang.Long.rotateLeft(wh(i + 2), 42))
+      out(i) = Hash61.shingle3(wh(i), wh(i + 1), wh(i + 2))
       i += 1
     }
     out
@@ -90,10 +81,11 @@ object Dedup {
           val sig = new Array[Long](numHashes)
           var s = 0
           while (s < numHashes) {
+            val seed = Hash61.mix(s + 1L) // deterministic per-hash seed
             var m = Long.MaxValue
             var i = 0
             while (i < sh.length) {
-              val h = mix64(sh(i) ^ (s * 0xd6e8feb86659fd93L))
+              val h = Hash61.mix(sh(i) ^ seed)
               if (h < m) m = h
               i += 1
             }
@@ -103,7 +95,7 @@ object Dedup {
           (0 until bands).iterator.map { b =>
             var bh = 0L
             var r = 0
-            while (r < rowsPerBand) { bh = mix64(bh ^ sig(b * rowsPerBand + r)); r += 1 }
+            while (r < rowsPerBand) { bh = Hash61.mix(bh ^ sig(b * rowsPerBand + r)); r += 1 }
             (id, sig, b, bh)
           }
         }
@@ -121,12 +113,13 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .as("matching"))
+          .cast("long").as("matching"))
       .distinct()
   }
 
-  /** 64-bit SimHash near-dup detection: per-word hash ±1 votes per bit;
-    * candidates share a 16-bit band; near-dups have Hamming ≤ 6. */
+  /** 60-bit SimHash near-dup detection over the field-valued word hashes:
+    * per-word ±1 votes per bit; candidates share a 15-bit band (4 bands);
+    * near-dups have Hamming ≤ 6. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -135,12 +128,12 @@ object Dedup {
         val wh = wordHashes(text)
         if (wh.isEmpty) Iterator.empty
         else {
-          val votes = new Array[Int](64)
+          val votes = new Array[Int](60)
           var i = 0
           while (i < wh.length) {
             val h = wh(i)
             var bit = 0
-            while (bit < 64) {
+            while (bit < 60) {
               if (((h >>> bit) & 1L) != 0L) votes(bit) += 1 else votes(bit) -= 1
               bit += 1
             }
@@ -148,8 +141,8 @@ object Dedup {
           }
           var fp = 0L
           var bit = 0
-          while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
-          (0 until 4).iterator.map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
+          while (bit < 60) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+          (0 until 4).iterator.map(b => (id, fp, b, (fp >>> (b * 15)) & 0x7fffL))
         }
       }.toDF("doc_id", "fp", "band_idx", "band")
 
@@ -164,7 +157,7 @@ object Dedup {
     a.join(b, Seq("band_idx", "band"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= 6)
   }

@@ -99,4 +99,9 @@ object Hash61 {
 
   /** DuckDB mirror of [[wordHash]]. */
   def wordHashSql(w: String): String = mixSql(rawWordHashSql(w))
+
+  /** DuckDB mirror of [[shingle3]] (the folds in the Scala version are
+    * just the mod — one `% M` over the 3-term sum is the same value). */
+  def shingle3Sql(a: String, b: String, c: String): String =
+    mixSql(s"((($a) * $R1::HUGEINT) % $M + (($b) * $R2::HUGEINT) % $M + ($c)) % $M::HUGEINT")
 }
