@@ -572,6 +572,10 @@ object SparkEntry {
         "CAST(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t " +
         "WHERE rn = 1"),
+    // Whole-algorithm SQL replays (OracleGen): LSH planes/buckets and the
+    // deterministic Lloyd-trained IVF quantizer, re-ranked exactly.
+    "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),
+    "ann_ivf_topk" -> graft.spark.OracleGen.ivfTopKSql(),
     "ann_cosine_topk" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +

@@ -163,58 +163,70 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup: each vector's nearest neighbor by cosine
-    * plus a duplicate flag (`cosine >= threshold`). The corpus side is
-    * broadcast once (a 64-dim embedding table is tiny relative to text);
-    * the per-row argmax is a tight JVM loop over the broadcast arrays —
-    * no n² rows ever materialize in the plan. At 100 TB the broadcast is
-    * replaced by the LSH / IVF bucket equi-joins in [[Similarity]]: same
-    * output contract, candidates restricted to matching buckets.
+    * plus a duplicate flag (`cosine >= threshold`).
     *
-    * Numerics are strict sequential float→double dot products so the
-    * result is bit-identical to DuckDB's `list_dot_product` oracle
-    * (verified: both are left-to-right double sums).
+    * Round-2 formulation (replaces the round-1 driver `collect()` +
+    * whole-corpus broadcast, VERDICT.md "What's wrong" #1): the shared
+    * IVF coarse quantizer ([[Similarity.trainQuantizer]], bounded sample)
+    * assigns every corpus vector to one cell; every vector — as its own
+    * query — probes `nprobe` cells; candidates are the cell equi-join of
+    * the two faces; the per-vector argmax is a `max(struct(cosine,
+    * -nn_id))` hash aggregate, so the candidate stream is collapsed by
+    * map-side partial aggregation inside each task — candidate rows never
+    * cross a shuffle (a window rank here would shuffle the whole
+    * candidate stream). Only the 16 centroids are broadcast; the corpus
+    * is mapped, never collected.
+    *
+    * `nprobe` defaults to ALL cells: exact mode, required because the
+    * synthetic embeddings are noise-like (measured max pairwise cosine
+    * ≈ 0.49 — no near-dup structure), so no sublinear candidate set can
+    * contain every true nearest neighbor and the exact all-pairs DuckDB
+    * oracle demands equality. Exact NN is intrinsically O(n²·d) compute;
+    * this plan distributes it memory-safely. On a real corpus WITH dup
+    * structure, set `nprobe` ≪ `numCentroids` for sublinear candidates —
+    * dup-grade neighbors (cosine ≥ threshold) share nearest cells
+    * (SimilaritySpec pins planted-dup recall for the bucketed paths).
+    *
+    * Numerics: `dot_f64` is a strict left-to-right float→double sum,
+    * bit-identical to DuckDB's `list_dot_product` oracle.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, numCentroids: Int = 16, nprobe: Int = -1,
+      lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
+    VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-    val corpus = emb.collect().sortBy(_._1)
-    val norms = corpus.map { case (_, v) =>
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
-      math.sqrt(s)
-    }
-    val bcVecs = spark.sparkContext.broadcast(corpus)
-    val bcNorms = spark.sparkContext.broadcast(norms)
+    val q = Similarity.trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
+    val bcQ = spark.sparkContext.broadcast(q)
+    val probeN = if (nprobe <= 0) numCentroids else nprobe
 
-    emb.mapPartitions { it =>
-      val vecs = bcVecs.value
-      val nrm = bcNorms.value
-      it.map { case (id, v) =>
-        var qn = 0.0
-        var i = 0
-        while (i < v.length) { val x = v(i).toDouble; qn += x * x; i += 1 }
-        qn = math.sqrt(qn)
-        var bestCos = Double.NegativeInfinity
-        var bestId = -1L
-        var c = 0
-        while (c < vecs.length) {
-          val (cid, cv) = vecs(c)
-          if (cid != id) {
-            var dot = 0.0
-            var j = 0
-            while (j < cv.length) { dot += cv(j).toDouble * v(j).toDouble; j += 1 }
-            val cos = dot / (nrm(c) * qn)
-            // ascending-id scan + strict '>' == ORDER BY cos DESC, nn_id
-            if (cos > bestCos) { bestCos = cos; bestId = cid }
-          }
-          c += 1
-        }
-        (id, bestId, bestCos, if (bestCos >= threshold) 1L else 0L)
-      }
-    }.toDF("vec_id", "nn_id", "cosine", "is_dup")
+    val corpus = emb.map { case (id, v) =>
+      var n = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+      (bcQ.value.nearest(v), id, v, math.sqrt(n))
+    }.toDF("cell", "corpus_id", "embedding", "corpus_norm")
+
+    val probes = emb.flatMap { case (id, v) =>
+      var n = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+      val nrm = math.sqrt(n)
+      bcQ.value.probe(v, probeN).iterator.map(c => (c, id, v, nrm))
+    }.toDF("cell", "vec_id", "q_embedding", "query_norm")
+
+    // a corpus vector lives in exactly ONE cell and probe cells are
+    // distinct ⇒ each (vec_id, corpus_id) candidate appears at most once
+    val dotF = call_function("dot_f64", col("embedding"), col("q_embedding"))
+    corpus.join(probes, "cell")
+      .where(col("corpus_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("corpus_id").as("nn_id"),
+        (dotF / (col("corpus_norm") * col("query_norm"))).as("cosine"))
+      // lexicographic struct max == ORDER BY cosine DESC, nn_id ASC
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine"), (-col("nn_id")).as("neg_nn"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_nn")).as("nn_id"),
+        col("m.cosine").as("cosine"),
+        when(col("m.cosine") >= threshold, 1L).otherwise(0L).as("is_dup"))
   }
 
   /** Exact n-gram Jaccard via an inverted index: explode distinct gram

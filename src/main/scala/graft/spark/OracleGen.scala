@@ -1,0 +1,101 @@
+package graft.spark
+
+/** Generators for the large DuckDB oracle statements that replay whole
+  * distributed algorithms in SQL — LSH bucketing and the deterministic
+  * Lloyd/IVF quantizer. Exactness rests on two invariants proven
+  * elsewhere: Hash61 arithmetic is HUGEINT-replayable (Hash61Spec), and
+  * DuckDB `list_dot_product` / ordered `list_reduce` folds are strict
+  * left-to-right double sums — bit-identical to the JVM loops and the
+  * codegen'd `dot_f64` (SimilaritySpec).
+  */
+object OracleGen {
+
+  /** Shared head: normalized embeddings + the corpus dimensionality. */
+  private val embHead =
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      "dims AS (SELECT max(len(v)) AS dim FROM e)"
+
+  private val rankTail =
+    "SELECT query_id, CAST(rn AS INTEGER) AS \"rank\", corpus_id, cosine " +
+      "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, corpus_id) AS rn FROM sc) t WHERE rn <= "
+
+  /** Replays [[Similarity.lshTopK]]: Hash61-derived hyperplanes, per-band
+    * sign buckets, multi-band candidate union, exact cosine re-rank. */
+  def lshTopKSql(numBands: Int = 4, planesPerBand: Int = 8,
+      k: Int = 5, numQueries: Int = 20): String = {
+    val numPlanes = numBands * planesPerBand
+    embHead +
+      // hyperplane component (p, i): (mix(p·4096+i+1) mod 2001 − 1000)/1000
+      ", pl AS (SELECT p, list_transform(range(0, (SELECT dim FROM dims)), " +
+      s"i -> CAST(${Hash61.mixSql("p * 4096 + i + 1")} % 2001 - 1000 AS DOUBLE) / 1000.0) AS plane " +
+      s"FROM (SELECT unnest(range(0, $numPlanes)) AS p)), " +
+      "sb AS (SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(e.v, pl.plane) >= 0.0 " +
+      "THEN 1 ELSE 0 END AS bit FROM e, pl), " +
+      s"bk AS (SELECT vec_id, CAST(p // $planesPerBand AS INTEGER) AS band_idx, " +
+      s"SUM(bit * (1 << (p % $planesPerBand))) AS bucket FROM sb GROUP BY 1, 2), " +
+      s"q AS (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT $numQueries), " +
+      "cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id " +
+      "FROM bk cb JOIN bk qb ON cb.band_idx = qb.band_idx AND cb.bucket = qb.bucket " +
+      "JOIN q ON qb.vec_id = q.query_id WHERE cb.vec_id <> qb.vec_id), " +
+      "sc AS (SELECT c.query_id, c.corpus_id, " +
+      "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
+      "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
+      "JOIN e qe ON qe.vec_id = c.query_id) " +
+      rankTail + k
+  }
+
+  // squared euclidean distance of centroid list `cv` vs vector list `vv`,
+  // as the same left-to-right fold the JVM loop performs. `dim` must be a
+  // plain column in scope (subqueries are rejected inside lambdas).
+  private def distSql(cv: String, vv: String): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, dim + 1), " +
+      s"dj_ -> ($cv[dj_] - $vv[dj_]) * ($cv[dj_] - $vv[dj_]))), (dx_, dy_) -> dx_ + dy_)"
+
+  /** Replays [[Similarity.ivfTopK]] incl. quantizer training: init =
+    * lowest-vec_id vectors, `lloydIters` unrolled Lloyd steps (ordered
+    * elementwise sums → bit-exact means), full-corpus assignment, nprobe
+    * probing, exact re-rank. Assumes the corpus fits the training
+    * sampleCap (4096 — true at every shipped SF; the Spark side samples
+    * `ORDER BY vec_id LIMIT 4096`). */
+  def ivfTopKSql(numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5): String = {
+    val sb = new StringBuilder(embHead)
+    sb.append(", s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
+    sb.append(s", cent0 AS (SELECT c, v AS cv FROM s0 WHERE c < $numCentroids)")
+    for (i <- 1 to lloydIters) {
+      val prev = s"cent${i - 1}"
+      // assign every sample vector to its nearest centroid (ties → low c)
+      sb.append(s", d$i AS (SELECT e.vec_id, e.v, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
+        s"FROM e CROSS JOIN $prev c0 CROSS JOIN dims)")
+      sb.append(s", a$i AS (SELECT vec_id, v, c FROM (SELECT vec_id, v, c, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i) WHERE rn = 1)")
+      // ordered elementwise sum (vec_id order == the JVM accumulation order)
+      sb.append(s", m$i AS (SELECT c, count(*) AS cnt, " +
+        "list_reduce(list(v ORDER BY vec_id), (mx_, my_) -> " +
+        "list_transform(range(1, dim + 1), mj_ -> mx_[mj_] + my_[mj_])) AS sums " +
+        s"FROM a$i CROSS JOIN dims GROUP BY c, dim)")
+      sb.append(s", cent$i AS (SELECT c0.c, CASE WHEN m.c IS NULL THEN c0.cv " +
+        "ELSE list_transform(range(1, dim + 1), cj_ -> m.sums[cj_] / m.cnt) END AS cv " +
+        s"FROM $prev c0 CROSS JOIN dims LEFT JOIN m$i m ON c0.c = m.c)")
+    }
+    val cf = s"cent$lloydIters"
+    sb.append(s", df AS (SELECT e.vec_id, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
+      s"FROM e CROSS JOIN $cf c0 CROSS JOIN dims)")
+    sb.append(", asg AS (SELECT vec_id, c AS cell FROM (SELECT vec_id, c, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df) WHERE rn = 1)")
+    sb.append(s", q AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
+    sb.append(", probes AS (SELECT vec_id AS query_id, c AS cell FROM (" +
+      "SELECT df.vec_id, df.c, row_number() OVER (PARTITION BY df.vec_id ORDER BY d, c) AS rn " +
+      s"FROM df JOIN q ON df.vec_id = q.vec_id) WHERE rn <= $nprobe)")
+    sb.append(", cand AS (SELECT p.query_id, a.vec_id AS corpus_id " +
+      "FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.query_id)")
+    sb.append(", sc AS (SELECT c.query_id, c.corpus_id, " +
+      "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
+      "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
+      "JOIN e qe ON qe.vec_id = c.query_id) ")
+    sb.append(rankTail + k)
+    sb.toString
+  }
+}

@@ -89,6 +89,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"IVF recall $recall%.3f too low")
   }
 
+  test("LSH multi-band retrieves planted near-duplicates at rank 1, deterministically") {
+    // The synthetic corpus is noise-like (measured max pairwise cosine
+    // ≈ 0.49), so mid-cosine top-k recall is not LSH's contract — dup-grade
+    // recall is. Plant a near-identical copy (cos ≈ 0.9996) of every
+    // vector and require each query to retrieve its plant at rank 1:
+    // P(band match) ≈ 0.93/band at this angle, 1-(1-0.93)^4 ≈ 0.99998
+    // over 4 bands, and the planes are deterministic, so this is a fixed
+    // outcome, not a flake.
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val planted = emb.map { case (id, v) =>
+      (id + 100000L,
+        v.zipWithIndex.map { case (x, j) => x * (1f + 0.01f * ((j % 5) - 2)) })
+    }
+    val corpus = emb.union(planted)
+    val queries = emb.orderBy("vec_id").limit(10)
+    val r1 = Similarity.lshTopKOn(spark, corpus, queries, numBands = 4,
+      planesPerBand = 8, k = 5)
+    val rows = r1.select("query_id", "rank", "corpus_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    val top1 = rows.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
+    queries.collect().foreach { case (qid, _) =>
+      assert(top1.contains(qid), s"query $qid returned no candidates")
+      assert(top1(qid)._1 == qid + 100000L,
+        s"query $qid top-1 is ${top1(qid)}, not the planted dup")
+      assert(top1(qid)._2 > 0.99)
+    }
+    val r2 = Similarity.lshTopKOn(spark, corpus, queries, numBands = 4,
+      planesPerBand = 8, k = 5)
+    assert(r1.collect().sortBy(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      r2.collect().sortBy(r => (r.getLong(0), r.getInt(1))).toSeq,
+      "LSH must be deterministic (fixed Hash61-derived planes)")
+  }
+
   test("embedding nearest-neighbor dedup matches independent brute force") {
     val s = spark
     import s.implicits._
