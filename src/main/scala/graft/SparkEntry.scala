@@ -61,11 +61,12 @@ object SparkEntry {
     }),
     "extract_lineage" -> ((s, dir) => {
       // north-rule lineage: per-bucket metrics rows (wall_ms excluded —
-      // nondeterministic)
+      // nondeterministic; fingerprint fixed to 'local' so the DuckDB
+      // oracle can reproduce every column — the file-stat fingerprint is
+      // exercised by SparkPipelineSpec instead)
       import s.implicits._
       val res = ExtractJob.run(s,
-        TranscriptGen.turns(s, dir, turnsPerDoc = 1), numBuckets = 16,
-        fingerprint = ExtractJob.inputFingerprint(s, s"$dir/documents.parquet"))
+        TranscriptGen.turns(s, dir, turnsPerDoc = 1), numBuckets = 16)
       res.extracted.count() // action to populate the accumulator
       s.createDataset(res.lineageRows).toDF()
         .select("input_fingerprint", "bucket", "extracted_turns",
@@ -400,6 +401,23 @@ object SparkEntry {
         "CAST(7 AS BIGINT) AS removed_unlikely, " +
         "CAST(0 AS BIGINT) AS divs_retagged, " +
         "CAST(2 AS BIGINT) AS n_candidates FROM k"),
+    // Per-bucket lineage: Spark's Murmur3 hash(conv_id, pmod(turn_idx, 2))
+    // replayed bit-exactly in HUGEINT (OracleGen.sparkBucketSql — conv_id
+    // is always 10 ASCII bytes, so the byte loop unrolls), turn counts
+    // split by the retry-acceptance length formula.
+    "extract_lineage" ->
+      (chunkerCte("") +
+        ", f AS (SELECT d2.doc_id, d2.n_chars, k.k_total, " +
+        "length(CAST(d2.doc_id AS VARCHAR)) AS dd, " +
+        "CAST(floor(sqrt(d2.doc_id)) AS BIGINT) AS kk, " +
+        "(d2.doc_id % 1000) % 2 AS tm FROM documents d2 JOIN k ON d2.doc_id = k.doc_id), " +
+        s"g AS (SELECT doc_id, ${graft.spark.OracleGen.sparkBucketSql("kk", "tm", 16)} AS bucket, " +
+        "CASE WHEN 74 + dd + 6 * k_total + n_chars >= 250 THEN 1 ELSE 0 END AS ok FROM f) " +
+        "SELECT 'local' AS input_fingerprint, bucket, " +
+        "CAST(SUM(ok) AS BIGINT) AS extracted_turns, " +
+        "CAST(0 AS BIGINT) AS failed_turns, " +
+        "CAST(count(*) - SUM(ok) AS BIGINT) AS empty_turns " +
+        "FROM g GROUP BY bucket"),
     // 2j: the crafted retry page — constant-form expected output that is
     // only reachable via lenient-retry-on-the-mutated-DOM (see
     // TranscriptGen.retryHtml scaladoc for why both failure modes differ).

@@ -171,17 +171,24 @@ object ExtractJob {
   def runResumable(spark: SparkSession, turns: Dataset[Turn], numBuckets: Int,
       fingerprint: String, outDir: String, ledgerDir: String): Seq[LineageRow] = {
     import spark.implicits._
-    val done: Set[Int] = {
+    // done-buckets as a broadcast LEFT ANTI join against the ledger — no
+    // driver collect and no isin literal list (which at production bucket
+    // counts, 2^15+, becomes a giant expression tree; VERDICT.md "What's
+    // wrong" #3)
+    val ledgerExists = {
       val p = new org.apache.hadoop.fs.Path(ledgerDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) Set.empty
-      else spark.read.parquet(ledgerDir)
-        .where(col("input_fingerprint") === fingerprint)
-        .select("bucket").as[Int].collect().toSet
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val withBucket = turns.withColumn("bucket", bucketCol(numBuckets))
-    val remaining = withBucket.where(!col("bucket").isin(done.toSeq: _*))
-      .drop("bucket").as[Turn]
+    val remaining =
+      if (!ledgerExists) turns
+      else {
+        val done = spark.read.parquet(ledgerDir)
+          .where(col("input_fingerprint") === fingerprint)
+          .select("bucket").distinct()
+        turns.withColumn("bucket", bucketCol(numBuckets))
+          .join(broadcast(done), Seq("bucket"), "left_anti")
+          .drop("bucket").as[Turn]
+      }
 
     val res = run(spark, remaining, numBuckets, fingerprint)
     res.extracted

@@ -46,6 +46,68 @@ object OracleGen {
       rankTail + k
   }
 
+  // ---------- Spark Murmur3_x86_32 replay (ExtractJob.bucketCol) ----------
+  // 32-bit wrapping arithmetic emulated in HUGEINT kept in [0, 2^32).
+  // Spark's hashUnsafeBytes is NOT standard murmur3: the tail is hashed
+  // one sign-extended byte at a time through a full mixK1/mixH1 round
+  // (Murmur3_x86_32.java) — replayed faithfully below.
+
+  private val U32 = "4294967296::HUGEINT"
+  import Hash61.letSql
+
+  private def rotl32Sql(x: String, r: Int): String =
+    // (x<<r) and (x>>(32-r)) occupy disjoint bit ranges ⇒ OR == +, and one
+    // mod keeps bits 0..31
+    s"((($x) << $r) | (($x) >> ${32 - r})) % $U32"
+
+  private def mixK1Sql(k: String): String =
+    letSql(s"(($k) * 3432918353::HUGEINT) % $U32") { a => // * 0xcc9e2d51
+      letSql(rotl32Sql(a, 15)) { r =>
+        s"(($r) * 461845907::HUGEINT) % $U32" // * 0x1b873593
+      }
+    }
+
+  private def mixH1Sql(h: String, k: String): String =
+    letSql(s"xor(($h), ($k))") { x =>
+      letSql(rotl32Sql(x, 13)) { r =>
+        s"(($r) * 5 + 3864292196::HUGEINT) % $U32" // + 0xe6546b64
+      }
+    }
+
+  private def fmixSql(h: String, len: Int): String =
+    letSql(s"xor(($h), $len::HUGEINT)") { a =>
+      letSql(s"(xor(($a), ($a) >> 16) * 2246822507::HUGEINT) % $U32") { b => // * 0x85ebca6b
+        letSql(s"(xor(($b), ($b) >> 13) * 3266489909::HUGEINT) % $U32") { c => // * 0xc2b2ae35
+          s"xor(($c), ($c) >> 16)"
+        }
+      }
+    }
+
+  /** Spark `pmod(hash(conv_id, tm), numBuckets)` where conv_id =
+    * 'conv-' || lpad(k, 5, '0') (always 10 ASCII bytes ⇒ the byte loop
+    * unrolls to 2 little-endian words + 2 tail bytes) and `tm` is a
+    * non-negative int expression. Result is the bucket id: since
+    * 2^32 ≡ 0 (mod numBuckets) for power-of-two bucket counts, pmod of
+    * the signed int equals the unsigned value mod numBuckets. */
+  def sparkBucketSql(kExpr: String, tmExpr: String, numBuckets: Int): String = {
+    require(Integer.bitCount(numBuckets) == 1, "power-of-two buckets only")
+    val word1 = 'c'.toInt | ('o'.toInt << 8) | ('n'.toInt << 16) | ('v'.toInt << 24)
+    letSql(s"lpad(CAST(($kExpr) AS VARCHAR), 5, '0')") { ck =>
+      letSql(s"45 + unicode(substr($ck, 1, 1))::HUGEINT * 256 + " +
+        s"unicode(substr($ck, 2, 1))::HUGEINT * 65536 + " +
+        s"unicode(substr($ck, 3, 1))::HUGEINT * 16777216") { word2 =>
+        val h1 = mixH1Sql("42::HUGEINT", mixK1Sql(s"$word1::HUGEINT"))
+        val h2 = mixH1Sql(h1, mixK1Sql(word2))
+        val h3 = mixH1Sql(h2, mixK1Sql(s"unicode(substr($ck, 4, 1))::HUGEINT"))
+        val h4 = mixH1Sql(h3, mixK1Sql(s"unicode(substr($ck, 5, 1))::HUGEINT"))
+        val hs = fmixSql(h4, 10)
+        // second column: hashInt(tm, seed = hs)
+        val hi = fmixSql(mixH1Sql(hs, mixK1Sql(s"($tmExpr)::HUGEINT")), 4)
+        s"CAST(($hi) % $numBuckets AS INTEGER)"
+      }
+    }
+  }
+
   // squared euclidean distance of centroid list `cv` vs vector list `vv`,
   // as the same left-to-right fold the JVM loop performs. `dim` must be a
   // plain column in scope (subqueries are rejected inside lambdas).
