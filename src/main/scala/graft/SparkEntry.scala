@@ -108,6 +108,33 @@ object SparkEntry {
         (docId, sum.text)
       }.toDF("doc_id", "extracted_text")
     }),
+    "drift_insdel" -> ((s, dir) => {
+      // A7 parity: htmldiff-style ins/del chars+blocks between an
+      // independently-built benchmark text and the actual extraction
+      // (Drift scaladoc maps the semantics to regression_test.py:214-235).
+      // Perturbation classes: %3==0 exact, %3==1 benchmark has an extra
+      // tail sentence (→ one deleted block), %3==2 benchmark misses the
+      // last word (→ one inserted block).
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .where(col("n_chars") >= MinChars).as[(Long, String, Long)]
+        .map { case (docId, text, _) =>
+          val actual = ExtractJob.extractTurn(
+            Turn(TranscriptGen.convOf(docId), docId.toInt, "assistant",
+              TranscriptGen.htmlWrap(docId, text), "",
+              new java.sql.Timestamp(TranscriptGen.FixedEpochMs)),
+            ExtractOptions()).extracted_text
+          val base = s"Heading $docId " + text
+          val expected = (docId % 3) match {
+            case 0 => base
+            case 1 => base + " expected extra drift sentence"
+            case _ => base.substring(0, base.lastIndexOf(' '))
+          }
+          val d = graft.extract.Drift.insDel(expected, actual)
+          (docId, d.insBlocks, d.insChars, d.delBlocks, d.delChars)
+        }.toDF("doc_id", "ins_blocks", "ins_chars", "del_blocks", "del_chars")
+    }),
     "extract_retry_lenient" -> ((s, dir) => {
       // 2j under oracle: every doc is a crafted page (TranscriptGen
       // .retryHtml) whose correct output exists ONLY via the lenient
@@ -215,6 +242,8 @@ object SparkEntry {
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_classes" -> ((s, dir) => TextAnalysis.langIdClasses(s, dir)),
+    "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
+    "lang_id_ngram_classes" -> ((s, dir) => TextAnalysis.langIdNgramClasses(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
 
     // ---- multimodal plumbing (stubbed codecs; Spark plumbing real) ----
@@ -418,6 +447,16 @@ object SparkEntry {
         "CAST(0 AS BIGINT) AS failed_turns, " +
         "CAST(count(*) - SUM(ok) AS BIGINT) AS empty_turns " +
         "FROM g GROUP BY bucket"),
+    // A7 drift meter: closed-form per perturbation class ('expected extra
+    // drift sentence' joins to 29 chars; the %3==2 class re-inserts the
+    // benchmark's missing last word).
+    "drift_insdel" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS ins_blocks, " +
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN length(regexp_extract(text, '[^ ]+$')) ELSE 0 END AS BIGINT) AS ins_chars, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS del_blocks, " +
+        "CAST(CASE WHEN doc_id % 3 = 1 THEN 29 ELSE 0 END AS BIGINT) AS del_chars " +
+        s"FROM documents WHERE n_chars >= $MinChars"),
     // 2j: the crafted retry page — constant-form expected output that is
     // only reachable via lenient-retry-on-the-mutated-DOM (see
     // TranscriptGen.retryHtml scaladoc for why both failure modes differ).
@@ -522,6 +561,36 @@ object SparkEntry {
         "b AS (SELECT doc_id, lang, ratio, row_number() OVER (PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn FROM s) " +
         "SELECT doc_id, CASE WHEN ratio > 0 THEN lang ELSE 'und' END AS predicted_lang, " +
         "ratio AS stopword_ratio FROM b WHERE rn = 1"),
+    // n-gram lang-ID, full scorer replayed in SQL: trigram extraction over
+    // the padded normalized text, profile-membership ratios, argmax with
+    // the (ratio, lang) tie-break, CJK-script gate.
+    "lang_id_ngram" -> {
+      val profiles = graft.spark.TextAnalysis.trigramProfiles
+        .map { case (lang, pf) =>
+          s"{'lang': '$lang', 'pf': [${pf.map(t => s"'$t'").mkString(",")}]}"
+        }.mkString(",")
+      "WITH nm AS (SELECT doc_id, " +
+        "' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS norm, " +
+        "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk, " +
+        "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace FROM documents), " +
+        "sc AS (SELECT doc_id, u.lang AS lang, " +
+        "CAST(len(list_filter(range(1, length(norm) - 1), " +
+        "i -> list_contains(u.pf, substr(norm, i, 3)))) AS DOUBLE) / (length(norm) - 2) AS ratio " +
+        s"FROM nm, unnest([$profiles]) AS t(u)), " +
+        "b AS (SELECT doc_id, lang, ratio, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn FROM sc) " +
+        "SELECT n.doc_id, " +
+        "CASE WHEN n.nonspace > 0 AND CAST(n.cjk AS DOUBLE) / n.nonspace > 0.2 THEN 'zh' " +
+        "WHEN b.ratio > 0 THEN b.lang ELSE 'und' END AS predicted_lang, " +
+        "CASE WHEN n.nonspace > 0 AND CAST(n.cjk AS DOUBLE) / n.nonspace > 0.2 " +
+        "THEN CAST(n.cjk AS DOUBLE) / n.nonspace ELSE b.ratio END AS trigram_ratio " +
+        "FROM nm n JOIN b ON b.doc_id = n.doc_id AND b.rn = 1"
+    },
+    "lang_id_ngram_classes" ->
+      ("SELECT doc_id, CASE CAST(doc_id % 6 AS INTEGER) " +
+        "WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' " +
+        "WHEN 3 THEN 'de' WHEN 4 THEN 'zh' ELSE 'und' END AS predicted_lang " +
+        "FROM documents"),
     // Rabin–Karp fingerprint in GF(2^61-1): the exact field arithmetic of
     // Hash61 replayed in DuckDB HUGEINT (int128 holds the 2^81 products).
     "doc_fingerprint" ->

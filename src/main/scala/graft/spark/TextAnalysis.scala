@@ -83,6 +83,96 @@ object TextAnalysis {
       }.toDF("doc_id", "predicted_lang")
   }
 
+  // ---------- n-gram language ID (round 2 — the discriminating face) ----
+
+  /** Char-trigram profiles: the most frequent trigrams of each language
+    * (public knowledge — any frequency table of en/es/fr/de text yields
+    * these). Chinese is NOT profile-scored: real CJK text is caught by a
+    * Unicode-script gate ([[predictNgram]]), which the round-1 stopword
+    * scorer could never match (its 'zh' stopwords were pinyin). */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "er ", " de", "die", "ie ", "und", "nd ", " un",
+      "sch", " sc", "ein", " ei", "ich", "ch ", "en ", "ung", "gen", "das",
+      " da", "ber", "cht", "den", " ge", "ten"),
+    "en" -> Seq("the", "he ", " th", "ing", "ng ", "and", " an", "ion",
+      "tio", "ent", " of", "of ", " to", "to ", "ed ", " in", "is ", " is",
+      "hat", "er ", "es ", " be", "at ", "on "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "ión", "ció", "aci",
+      " es", "es ", " en", "en ", "que", " qu", "ue ", "ado", "los", " lo",
+      "ar ", "nte", " co", "el ", " el", "as "),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", "nt ", " la",
+      "la ", "ion", " et", "et ", "les", "une", " un", "re ", "ait", "eur",
+      "aux", " pa", "our", "ur ", "ais", "dan"))
+
+  /** Trigram/script language ID: CJK-script gate first (fraction of CJK
+    * Unified Ideographs among non-space chars > 0.2 ⇒ 'zh'), else the
+    * argmax of per-language trigram-hit ratios over the space-padded
+    * normalized text; 'und' when nothing matches. */
+  def predictNgram(text: String): (String, Double) = {
+    val t = text.toLowerCase(java.util.Locale.ROOT)
+    var cjk = 0
+    var nonSpace = 0
+    t.foreach { c =>
+      if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      if (!Character.isWhitespace(c)) nonSpace += 1
+    }
+    if (nonSpace > 0 && cjk.toDouble / nonSpace > 0.2)
+      return ("zh", cjk.toDouble / nonSpace)
+    val words = t.split("\\s+").filter(_.nonEmpty)
+    val norm = " " + words.mkString(" ") + " "
+    val total = norm.length - 2
+    if (total <= 0) return ("und", 0.0)
+    var bestLang = "und"
+    var bestRatio = 0.0
+    var first = true
+    trigramProfiles.foreach { case (lang, profile) =>
+      val set = profile.toSet
+      var cnt = 0
+      var i = 0
+      while (i < total) {
+        if (set.contains(norm.substring(i, i + 3))) cnt += 1
+        i += 1
+      }
+      val ratio = cnt.toDouble / total
+      // maxBy (ratio, lang): strictly greater, or equal ratio + later lang
+      if (first || ratio > bestRatio || (ratio == bestRatio && lang > bestLang)) {
+        bestLang = lang; bestRatio = ratio; first = false
+      }
+    }
+    (if (bestRatio > 0) bestLang else "und", bestRatio)
+  }
+
+  /** n-gram lang-ID over the corpus (oracle replays the full scorer in
+    * SQL: trigram extraction, profile membership counts, argmax, gate). */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val (lang, ratio) = predictNgram(text)
+        (id, lang, ratio)
+      }.toDF("doc_id", "predicted_lang", "trigram_ratio")
+  }
+
+  /** Discriminating check on REAL multilingual text — incl. actual CJK
+    * for zh (the round-1 gap) — one language class per doc_id % 6. */
+  def langIdNgramClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val samples = Vector(
+      "the quick brown fox jumps over the lazy dog and then it runs into the woods again",
+      "el zorro marrón salta sobre el perro perezoso que duerme en la casa de la señora",
+      "le renard brun saute par dessus le chien paresseux dans la maison de la dame",
+      "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
+      "敏捷的棕色狐狸跳过了懒惰的狗然后跑进了山里的树林",
+      "12345 67890 24680 13579")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .map { id =>
+        val payload = samples((id % 6).toInt) + " " + id
+        (id, TextAnalysis.predictNgram(payload)._1)
+      }.toDF("doc_id", "predicted_lang")
+  }
+
   /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
     * words. Deterministic pure function of the text; allocation-free
     * multiply-mod via [[Hash61.mulmod]] (Math.multiplyHigh + Mersenne

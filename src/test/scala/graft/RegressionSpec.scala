@@ -73,10 +73,18 @@ class RegressionSpec extends AnyFunSuite {
       assert(!summary.failed, "extraction failed")
       val a = summary.text
       val b = expected
+      // htmldiff-parity drift meter (A7): ins/del blocks+chars of the
+      // word-level diff, exactly the reference's ResultSummary semantics
+      // (regression_test.py:214-235) — alongside the 5-gram containment.
+      val d = graft.extract.Drift.insDel(b, a)
       if (driftTracked.contains(caseDir.getName)) {
         val c = containment(a, b)
-        info(f"drift-tracked: golden 5-gram containment = $c%.3f")
+        info(f"drift-tracked: golden 5-gram containment = $c%.3f; " +
+          s"ins/del = ${d.insBlocks} blk ${d.insChars} ch / ${d.delBlocks} blk ${d.delChars} ch")
         assert(c >= 0.75, f"drift too large: containment $c%.3f < 0.75")
+      } else if (a == b) {
+        assert(d == graft.extract.Drift.InsDel(0, 0, 0, 0),
+          "exact case must measure zero ins/del drift")
       } else if (a != b) {
         val diffAt = a.zip(b).indexWhere { case (x, y) => x != y }
         val at = if (diffAt < 0) math.min(a.length, b.length) else diffAt
