@@ -148,4 +148,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the only exchange permitted is the per-query window (20 rows/query)
     assert(!plan.contains("Exchange hashpartitioning(corpus_id"), plan)
   }
+
+  test("embedding near-dup: cell equi-join + map-side-combined argmax, no window, no cartesian") {
+    val plan = finalPlan(graft.spark.Dedup.embeddingNearDup(spark, sfDir))
+    // the candidate stream must collapse BEFORE the shuffle: partial_max
+    // on the map side of the groupBy(vec_id) aggregate
+    assert(plan.contains("partial_max"),
+      "per-vector argmax must partial-aggregate map-side\n" + plan)
+    assert(!plan.contains("Window"),
+      "a window rank would shuffle the full candidate stream\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("LSH top-k: typed bucket kernel — no interpreted HOF in the plan") {
+    val plan = finalPlan(graft.spark.Similarity.lshTopK(spark, sfDir))
+    // round-1 regression: the bucket key was an interpreted
+    // aggregate/zip_with HOF evaluated twice per corpus row
+    assert(!plan.contains("zip_with") && !plan.contains("lambdafunction"),
+      "bucket computation must stay in the typed kernel\n" + plan)
+    assert(plan.contains("dot_f64"), "re-rank must use the codegen'd dot product\n" + plan)
+  }
 }
