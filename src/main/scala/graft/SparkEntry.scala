@@ -237,6 +237,24 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "dedup_embedding_nn" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    "dedup_embedding_nn_probe" -> ((s, dir) => {
+      // The SUBLINEAR path (nprobe=6 of 16 cells) driver-verified: plant
+      // a near-duplicate of each of the first 500 vectors (halve every
+      // 9th dim — an exponent-only float op, exact in both float and
+      // double, so the DuckDB replay is bit-identical), then require the
+      // probed candidate set to recover every >=0.95 pair exactly. The
+      // noise-like remainder (max cosine 0.49) filters out on both sides.
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val plants = emb.filter(_._1 < 500).map { case (id, v) =>
+        (id + 100000L,
+          v.zipWithIndex.map { case (x, j) => if (j % 9 == 0) x * 0.5f else x })
+      }
+      Dedup.embeddingNearDupOn(s, emb.union(plants), threshold = 0.95,
+        numCentroids = 16, nprobe = 6)
+        .where(col("is_dup") === 1)
+    }),
 
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
@@ -659,6 +677,23 @@ object SparkEntry {
         "CAST(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
         "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t " +
         "WHERE rn = 1"),
+    // Sublinear near-dup probe: exact all-pairs NN over the planted union
+    // (the perturbation is exponent-exact so both sides compute identical
+    // doubles), filtered to the >=0.95 pairs the probed cells must find.
+    "dedup_embedding_nn_probe" ->
+      ("WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pl AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(range(1, len(v) + 1), j -> CASE WHEN (j - 1) % 9 = 0 " +
+        "THEN v[j] * 0.5 ELSE v[j] END) AS v FROM e0 WHERE vec_id < 500), " +
+        "u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl), " +
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u), " +
+        "s AS (SELECT a.vec_id, b.vec_id AS nn_id, " +
+        "list_dot_product(b.v, a.v) / (b.nrm * a.nrm) AS cosine " +
+        "FROM n a JOIN n b ON a.vec_id <> b.vec_id), " +
+        "bst AS (SELECT vec_id, nn_id, cosine FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t WHERE rn = 1) " +
+        "SELECT vec_id, nn_id, cosine, CAST(1 AS BIGINT) AS is_dup " +
+        "FROM bst WHERE cosine >= 0.95"),
     // Whole-algorithm SQL replays (OracleGen): LSH planes/buckets and the
     // deterministic Lloyd-trained IVF quantizer, re-ranked exactly.
     "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),

@@ -194,9 +194,20 @@ object Dedup {
       threshold: Double = 0.95, numCentroids: Int = 16, nprobe: Int = -1,
       lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
+    embeddingNearDupOn(spark,
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])],
+      threshold, numCentroids, nprobe, lloydIters, sampleCap)
+  }
+
+  /** Dataset-level core of [[embeddingNearDup]] (the planted-dup probe
+    * query builds its own corpus here). */
+  def embeddingNearDupOn(spark: SparkSession,
+      emb: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      threshold: Double = 0.95, numCentroids: Int = 16, nprobe: Int = -1,
+      lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
     VectorFunctions.register(spark)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").as[(Long, Array[Float])]
     val q = Similarity.trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
     val bcQ = spark.sparkContext.broadcast(q)
     val probeN = if (nprobe <= 0) numCentroids else nprobe
