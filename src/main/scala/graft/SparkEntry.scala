@@ -7,12 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one `queries` entry per implemented operator family
-  * from SURVEY.md §2 plus the training-pipeline operators; `oracleSql`
-  * carries DuckDB-equivalent SQL for every result that is exactly
-  * SQL-expressible (integer/string outputs, deterministic), giving the
-  * extraction engine itself an end-to-end oracle via the HTML-wrap
-  * roundtrip. Non-SQL-expressible operators are checked rows-only by the
-  * driver. */
+  * from SURVEY.md §2 plus the training-pipeline operators. As of round 2
+  * EVERY query has a DuckDB oracle in `oracleSql` (rows+schema+hash
+  * checked at sf0.01 and sf0.1): closed forms over the fixed transcript
+  * wrap where the pipeline output is derivable (incl. a recursive-CTE
+  * replay of the greedy chunker and the retry-acceptance length formula),
+  * and whole-algorithm SQL replays where it is not — GF(2^61-1) signature
+  * kernels in HUGEINT (Hash61), Spark-Murmur3 bucket ids, LSH hyperplanes,
+  * and the 5-iteration Lloyd/IVF quantizer (OracleGen). Doubles survive
+  * the hash compare because both sides compute strict left-to-right
+  * IEEE sums (dot_f64 == DuckDB list_dot_product — SimilaritySpec). */
 object SparkEntry {
 
   /** Flagship: full extraction pipeline over the synthetic transcript
