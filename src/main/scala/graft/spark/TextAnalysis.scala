@@ -176,8 +176,11 @@ object TextAnalysis {
   /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
     * words. Deterministic pure function of the text; allocation-free
     * multiply-mod via [[Hash61.mulmod]] (Math.multiplyHigh + Mersenne
-    * folding — the round-1 BigInteger hot-loop is gone, values unchanged:
-    * Hash61Spec pins equality against the BigInteger reference). */
+    * folding — the round-1 BigInteger hot-loop is gone). NOTE: round-1
+    * values are NOT preserved on purpose — the old inner fold's `wh*131`
+    * silently wrapped Long for wh ≥ 2^56, so those values were never the
+    * documented mod-M function; the correct fold (Hash61Spec pins it
+    * against BigInteger) is what the DuckDB oracle now checks. */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val M = Hash61.M
