@@ -139,6 +139,20 @@ object SparkEntry {
           (docId, d.insBlocks, d.insChars, d.delBlocks, d.delChars)
         }.toDF("doc_id", "ins_blocks", "ins_chars", "del_blocks", "del_chars")
     }),
+    "extract_spans_multi" -> ((s, dir) => {
+      // W2 sibling merge under oracle, all four branches (long-p rule /
+      // best / score-threshold / period-p rule, plus a must-vanish
+      // below-threshold sibling) — produces the multi-block span face the
+      // plain wrap cannot (TranscriptGen.siblingHtml scaladoc).
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .flatMap { id =>
+          val r = Extractor.extract(TranscriptGen.siblingHtml(id), ExtractOptions())
+          r.spans.toSeq.zipWithIndex.map { case ((st, en), i) =>
+            (id, i, st, en, r.text.substring(st, en), r.confidence)
+          }
+        }.toDF("doc_id", "block_idx", "start", "end", "block_text", "confidence")
+    }),
     "extract_retry_lenient" -> ((s, dir) => {
       // 2j under oracle: every doc is a crafted page (TranscriptGen
       // .retryHtml) whose correct output exists ONLY via the lenient
@@ -649,6 +663,24 @@ object SparkEntry {
         "SELECT doc_id, 'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
         "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS et " +
         s"FROM documents WHERE n_chars >= $MinChars)"),
+    // W2 sibling merge, all four branches: the article is exactly four
+    // top-level blocks (long-p lead / best candidate / threshold-merged
+    // sibling / period-p tail) whose texts are rebuilt verbatim from the
+    // same TranscriptGen constants, so starts are running sums of
+    // (length + 1); the below-threshold sibling's text appears nowhere.
+    "extract_spans_multi" -> {
+      import graft.spark.TranscriptGen._
+      val lead = s"'lead paragraph for document ' || CAST(doc_id AS VARCHAR) || ' $SibLead'"
+      val blks = s"[$lead, '${SibContent.mkString(" ")}', " +
+        s"'${SibBlock.mkString(" ")}', '$SibTail']"
+      s"WITH b AS (SELECT doc_id, $blks AS blks FROM documents), " +
+        "u AS (SELECT doc_id, i, blks[i] AS bt FROM b, unnest(generate_series(1, 4)) AS t(i)), " +
+        "w AS (SELECT doc_id, i, bt, CAST(COALESCE(SUM(length(bt) + 1) OVER " +
+        "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS st FROM u) " +
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, st AS \"start\", " +
+        "CAST(st + length(bt) AS INTEGER) AS \"end\", bt AS block_text, " +
+        "CAST(40.0 AS DOUBLE) AS confidence FROM w"
+    },
     "charset_detect" ->
       ("SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
         "WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1251' " +

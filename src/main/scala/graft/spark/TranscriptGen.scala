@@ -97,6 +97,43 @@ object TranscriptGen {
       "</body></html>"
   }
 
+  // Fixed paragraph texts for the sibling-merge page (doc-independent so
+  // the oracle can rebuild them verbatim; only the lead carries doc_id).
+  val SibLead: String = "carrying enough characters to clear the eighty character " +
+    "paragraph gate of the sibling merge rule"
+  val SibContent: Vector[String] = Vector.tabulate(5)(i =>
+    s"main content paragraph number $i with comfortably enough text to score")
+  val SibBlock: Vector[String] = Vector.tabulate(3)(i =>
+    s"qualifying sibling paragraph $i long enough to count")
+  val SibSkip: String = "this sibling scores too low to merge and must vanish"
+  val SibTail: String = "short tail sentence that ends in a period."
+
+  /** A page that exercises every branch of the sibling merge (W2,
+    * readability.py:586-629) so the article has FOUR top-level blocks —
+    * the multi-span face the plain wrap can't produce:
+    *
+    *  - `<p>` lead (len > 80, link density 0) → merged via the long-p rule;
+    *  - div.article-content (best candidate, 30 + 2·5 = 40);
+    *  - div.block (5 + 2·3 = 11 ≥ max(10, 0.2·40) = 10) → threshold merge;
+    *  - div.lonely (5 + 2 = 7 < 10) → NOT merged, text must vanish;
+    *  - `<p>` tail (len ≤ 80, ld 0, ends in '.') → merged via the
+    *    period-p rule.
+    *
+    * Expected: spans [lead | content·5 | block·3 | tail] at confidence 40
+    * (body scores 25 + 4 + 5 + 3 + 1 = 38 via the readabilityBody quirk —
+    * still loses). */
+  def siblingHtml(id: Long): String = {
+    val contentPs = SibContent.map(t => s"<p>$t</p>").mkString
+    val blockPs = SibBlock.map(t => s"<p>$t</p>").mkString
+    s"""<html><body>""" +
+      s"""<p>lead paragraph for document $id $SibLead</p>""" +
+      s"""<div class="article-content">$contentPs</div>""" +
+      s"""<div class="block">$blockPs</div>""" +
+      s"""<div class="lonely"><p>$SibSkip</p></div>""" +
+      s"""<p>$SibTail</p>""" +
+      "</body></html>"
+  }
+
   /** Conversation id for a document: skewed sizes — conversation k holds
     * documents [k², (k+1)²), so conversation k has 2k+1 documents. */
   def convOf(docId: Long): String = {
