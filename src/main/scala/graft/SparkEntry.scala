@@ -153,6 +153,17 @@ object SparkEntry {
           }
         }.toDF("doc_id", "block_idx", "start", "end", "block_text", "confidence")
     }),
+    "sanitize_decisions" -> ((s, dir) => {
+      // 2i under oracle, branch by branch: a crafted page where every row
+      // of the sanitize decision table fires — every `kept` marker must
+      // survive, every `vanish` marker must be cleaned (TranscriptGen
+      // .sanitizeHtml scaladoc walks the table).
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+        .map { id =>
+          (id, Extractor.extract(TranscriptGen.sanitizeHtml(id), ExtractOptions()).text)
+        }.toDF("doc_id", "extracted_text")
+    }),
     "extract_retry_lenient" -> ((s, dir) => {
       // 2j under oracle: every doc is a crafted page (TranscriptGen
       // .retryHtml) whose correct output exists ONLY via the lenient
@@ -680,6 +691,17 @@ object SparkEntry {
         "SELECT doc_id, CAST(i - 1 AS INTEGER) AS block_idx, st AS \"start\", " +
         "CAST(st + length(bt) AS INTEGER) AS \"end\", bt AS block_text, " +
         "CAST(40.0 AS DOUBLE) AS confidence FROM w"
+    },
+    // 2i: the sanitize survivor text is a constant around the doc_id
+    // paragraph — built from the same TranscriptGen constants the page is.
+    "sanitize_decisions" -> {
+      import graft.spark.TranscriptGen._
+      val pre = Seq(SanKeptHeader, SanBig1, SanRescueKeep, SanBig2).mkString(" ")
+      val post = Seq(s"$SanCommaKeep1 $SanCommaKeep2 $SanCommaLink",
+        s"$SanEntryKeep $SanEntryLink", SanTableKeep).mkString(" ")
+      s"SELECT doc_id, '$pre main paragraph for document ' || " +
+        s"CAST(doc_id AS VARCHAR) || ' carries scoring weight $post' " +
+        "AS extracted_text FROM documents"
     },
     "charset_detect" ->
       ("SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +

@@ -134,6 +134,81 @@ object TranscriptGen {
       "</body></html>"
   }
 
+  // Sanitize decision-table page constants (doc-independent so the oracle
+  // rebuilds the survivor text verbatim; only SanDocP carries doc_id).
+  val SanBig1: String =
+    ("first big anchor paragraph flowing onward with plain steady words " * 8).trim
+  val SanBig2: String =
+    ("second big anchor paragraph flowing onward with plain steady words " * 8).trim
+  val SanKeptHeader = "kept header section heading"
+  val SanRescueKeep = "kept embed rescue marker text stays here"
+  val SanCommaKeep1 = "a, b, c, d, e, f"
+  val SanCommaKeep2 = "g, h, i, j, k, l"
+  val SanCommaLink = "link text padding words"
+  val SanEntryKeep = "kept entry moderate link density marker stays"
+  val SanEntryLink = "some link words here"
+  val SanTableKeep = "kept table cell with plenty of text to stay around"
+  def sanDocP(id: Long): String =
+    s"main paragraph for document $id carries scoring weight"
+
+  /** A page that walks the whole sanitize decision table (2i,
+    * readability.py:456-584) branch by branch — every `kept …` marker must
+    * survive and every `vanish …` marker must be cleaned:
+    *
+    *  - h2.promo (classWeight<0) and the all-link h3 (ld>0.33) drop; the
+    *    neutral h2 stays (header pass);
+    *  - form / iframe / textarea always drop;
+    *  - div.promo: weight −25 + score 0 < 0 → drop;
+    *  - comma-shield div: ld 0.42 would drop it, but 10 commas skip the
+    *    feature table entirely → kept;
+    *  - img>p div, li-heavy div (102 li − 100 = 2 > 1 p — the bare-text
+    *    marker is wrapped into a p by the misused-div transform, another
+    *    reference quirk this page pins),
+    *    input div (1 > 1//3), tiny div (<25 chars), ld>0.2 neutral div,
+    *    ld>0.5 positive-class div → all drop, each through its own row;
+    *  - div.entry at ld 0.31: weight ≥ 25 relaxes the gate to 0.5 → kept;
+    *  - embed div between the two >500-char anchors: the sibling rescue
+    *    (one-sample quirk, sum > 1000) flips toRemove → kept; the same
+    *    shape next to short siblings (sum ≈ 130) → drop;
+    *  - tiny table drops on minTextLength, the long-cell table stays.
+    *
+    * Candidate ranking stays fixed for every doc_id: article-content ≈ 39
+    * vs body ≈ 29 (readabilityBody quirk) — the varying doc_id digits only
+    * move link densities in the 3rd decimal. */
+  def sanitizeHtml(id: Long): String = {
+    val lis = (s"""<li>list item filler entry</li>""" * 102)
+    s"""<html><body><div class="article-content">""" +
+      s"""<h2>$SanKeptHeader</h2>""" +
+      s"""<h2 class="promo">vanish negative header</h2>""" +
+      s"""<h3><a href="/q">vanish link header</a></h3>""" +
+      s"""<form><p>vanish form content</p></form>""" +
+      s"""<iframe src="/fr">vanish iframe content</iframe>""" +
+      s"""<textarea>vanish textarea content</textarea>""" +
+      s"""<p>$SanBig1</p>""" +
+      s"""<div><embed src="/e"/><p>$SanRescueKeep</p></div>""" +
+      s"""<p>$SanBig2</p>""" +
+      s"""<p>${sanDocP(id)}</p>""" +
+      s"""<div class="promo"><p>vanish promo block</p></div>""" +
+      s"""<div><p>$SanCommaKeep1</p><p>$SanCommaKeep2</p><a href="/z">$SanCommaLink</a></div>""" +
+      s"""<div><img src="/a.gif"/><img src="/b.gif"/><p>vanish image heavy block marker</p></div>""" +
+      s"""<div>vanish list heavy marker<ul>$lis</ul></div>""" +
+      s"""<div><input/><p>vanish input form stub marker text</p></div>""" +
+      s"""<div><p>vanish tiny</p></div>""" +
+      s"""<div><p>vanish moderate link density paragraph marker</p><a href="/w">link spam words here</a></div>""" +
+      s"""<div class="entry"><p>$SanEntryKeep</p><a href="/k">$SanEntryLink</a></div>""" +
+      s"""<div class="entry"><p>vanish entry heavy link density marker</p><a href="/m">many many link words stuffed in here to overflow</a></div>""" +
+      s"""<div><embed src="/f"/><p>vanish lonely embed marker padded text</p></div>""" +
+      s"""<table><tr><td>vanish tiny table</td></tr></table>""" +
+      s"""<table><tr><td>$SanTableKeep</td></tr></table>""" +
+      "</div></body></html>"
+  }
+
+  /** The survivor text [[sanitizeHtml]] must extract to, doc_id spliced. */
+  def sanitizeExpected(id: Long): String =
+    Seq(SanKeptHeader, SanBig1, SanRescueKeep, SanBig2, sanDocP(id),
+      s"$SanCommaKeep1 $SanCommaKeep2 $SanCommaLink",
+      s"$SanEntryKeep $SanEntryLink", SanTableKeep).mkString(" ")
+
   /** Conversation id for a document: skewed sizes — conversation k holds
     * documents [k², (k+1)²), so conversation k has 2k+1 documents. */
   def convOf(docId: Long): String = {
