@@ -285,6 +285,11 @@ object SparkEntry {
         .where(col("is_dup") === 1)
     }),
 
+    // ---- corpus quality / curation (Gopher/C4-style) ----
+    "quality_signals" -> ((s, dir) => Quality.signals(s, dir)),
+    "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
+    "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
+
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -572,6 +577,61 @@ object SparkEntry {
         "FROM documents"),
     "dedup_exact" ->
       "SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)",
+    // Gopher/C4-style quality signals: per-row list algebra; every ratio
+    // is the same single int/int double division the Scala kernel does,
+    // and the keep flag compares those doubles to the shared literals.
+    "quality_signals" -> {
+      import graft.spark.Quality._
+      def mm(l: String) =
+        s"coalesce(list_max(list_transform(list_distinct($l), u -> len(list_filter($l, x -> x = u)))), 0)"
+      "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "c AS (SELECT doc_id, ws, len(ws) AS n, " +
+        "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg, " +
+        "list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg FROM w), " +
+        "m AS (SELECT doc_id, n, len(list_distinct(ws)) AS nd, " +
+        s"${mm("ws")} AS mw, " +
+        s"CASE WHEN n > 1 THEN ${mm("bg")} ELSE 0 END AS mb, " +
+        s"CASE WHEN n > 2 THEN ${mm("tg")} ELSE 0 END AS mt, " +
+        "list_reduce(list_prepend(0, list_transform(ws, x -> length(x))), (a, b) -> a + b) AS sl, " +
+        s"len(list_filter(ws, x -> list_contains([${StopEn.map(s => s"'$s'").mkString(",")}], x))) AS sw FROM c), " +
+        "r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(nd AS BIGINT) AS n_distinct, " +
+        "CAST(nd AS DOUBLE) / greatest(n, 1) AS distinct_ratio, " +
+        "CAST(mw AS DOUBLE) / greatest(n, 1) AS top_word_frac, " +
+        "CASE WHEN n > 1 THEN CAST(mb AS DOUBLE) / (n - 1) ELSE 0.0 END AS dup_bigram_frac, " +
+        "CASE WHEN n > 2 THEN CAST(mt AS DOUBLE) / (n - 2) ELSE 0.0 END AS dup_trigram_frac, " +
+        "CAST(sl AS DOUBLE) / greatest(n, 1) AS mean_word_len, " +
+        "CAST(sw AS BIGINT) AS stopword_count FROM m) " +
+        "SELECT *, CAST(CASE WHEN " +
+        s"mean_word_len >= $MeanWordLenMin AND mean_word_len <= $MeanWordLenMax " +
+        s"AND stopword_count >= $MinStopwords AND distinct_ratio >= $MinDistinctRatio " +
+        s"AND dup_bigram_frac <= $MaxDupBigramFrac AND dup_trigram_frac <= $MaxDupTrigramFrac " +
+        s"AND top_word_frac <= $MaxTopWordFrac THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
+    },
+    // PII scrub: the payload is closed-form in (doc_id, first 5 words);
+    // counts + redaction replay with the SAME pattern strings (shared
+    // Java/RE2 subset) — DuckDB needs the explicit 'g' flag to match
+    // Spark's replace-all semantics.
+    "pii_scrub" -> {
+      import graft.spark.Quality._
+      "WITH p AS (SELECT doc_id, " +
+        "array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:5], ' ') AS head5 FROM documents), " +
+        "pay AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
+        "WHEN 0 THEN 'reach user' || doc_id || ' at user' || doc_id || '@mail.example.com or x.user' || doc_id || '@sub.example.org about ' || head5 " +
+        "WHEN 1 THEN 'call user' || doc_id || ' on 555-01' || (doc_id % 10) || '-' || (1000 + doc_id % 9000) || ' regarding ' || head5 " +
+        "WHEN 2 THEN 'host for user' || doc_id || ' is 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.1 serving ' || head5 " +
+        "ELSE 'clean note from user' || doc_id || ' about ' || head5 END AS payload FROM p) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(payload, '$EmailRe')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(payload, '$PhoneRe')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(payload, '$Ipv4Re')) AS BIGINT) AS n_ips, " +
+        s"regexp_replace(regexp_replace(regexp_replace(payload, '$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS scrubbed FROM pay"
+    },
+    // Deterministic per-domain quota sample: Hash61.mix rank replayed in
+    // HUGEINT, same (rank_key, doc_id) window order.
+    "sample_per_domain" ->
+      (s"WITH r AS (SELECT doc_id, source, ${Hash61.mixSql("doc_id::HUGEINT")} AS rk FROM documents), " +
+        "w AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn FROM r) " +
+        "SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM w WHERE rn <= 20"),
     "text_metrics" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words, " +

@@ -1,0 +1,147 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators for the training-data pipeline, in the style
+  * of the published Gopher/C4 heuristics (Rae et al. 2021 §A1.1; Raffel
+  * et al. 2020 §2.2): repetition ratios, stopword presence, mean word
+  * length, plus PII scrubbing and per-domain quota sampling.
+  *
+  * Scale notes: `signals` and `piiScrub` are per-row (no shuffle — the
+  * whole computation is local to the document, so the plan is a parallel
+  * scan at any corpus size); `samplePerDomain` is the one shuffle this
+  * family needs (hash-partition by domain), and its rank key is a
+  * deterministic hash so re-runs and retries pick identical samples.
+  */
+object Quality {
+
+  val StopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  // Gopher-style keep thresholds, tuned so the synthetic corpus genuinely
+  // splits (~75% keep at sf0.01 AND sf0.1); the published bounds that can
+  // never fire on this corpus (e.g. mean word length 3..10) are kept
+  // anyway — they are part of the operator's contract on real data.
+  val MeanWordLenMin = 3.0
+  val MeanWordLenMax = 10.0
+  val MinStopwords = 2L
+  val MinDistinctRatio = 0.3
+  val MaxDupBigramFrac = 0.10
+  val MaxDupTrigramFrac = 0.10
+  val MaxTopWordFrac = 0.25
+
+  final case class DocSignals(
+      doc_id: Long, n_words: Long, n_distinct: Long, distinct_ratio: Double,
+      top_word_frac: Double, dup_bigram_frac: Double, dup_trigram_frac: Double,
+      mean_word_len: Double, stopword_count: Long, keep: Long)
+
+  /** Per-word-multiset max multiplicity. */
+  private def maxMult(it: Iterator[String]): Int = {
+    val counts = new java.util.HashMap[String, Int]()
+    var best = 0
+    it.foreach { k =>
+      val c = counts.merge(k, 1, Integer.sum)
+      if (c > best) best = c
+    }
+    best
+  }
+
+  /** Per-document quality signals. Every ratio is a single int/int double
+    * division, so the DuckDB oracle reproduces each value bit-exactly;
+    * the keep flag compares those doubles against shared literals. */
+  def signals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stop = StopEn.toSet
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        val n = ws.length
+        val nEff = math.max(n, 1)
+        val nd = ws.distinct.length
+        val mw = maxMult(ws.iterator)
+        val mb = if (n > 1) maxMult(ws.iterator.sliding(2).map(_.mkString(" "))) else 0
+        val mt = if (n > 2) maxMult(ws.iterator.sliding(3).map(_.mkString(" "))) else 0
+        val sumLen = ws.foldLeft(0)(_ + _.length)
+        val sw = ws.count(stop.contains).toLong
+        val distinctRatio = nd.toDouble / nEff
+        val topWordFrac = mw.toDouble / nEff
+        val dupBigramFrac = if (n > 1) mb.toDouble / (n - 1) else 0.0
+        val dupTrigramFrac = if (n > 2) mt.toDouble / (n - 2) else 0.0
+        val meanWordLen = sumLen.toDouble / nEff
+        val keep =
+          meanWordLen >= MeanWordLenMin && meanWordLen <= MeanWordLenMax &&
+            sw >= MinStopwords && distinctRatio >= MinDistinctRatio &&
+            dupBigramFrac <= MaxDupBigramFrac &&
+            dupTrigramFrac <= MaxDupTrigramFrac && topWordFrac <= MaxTopWordFrac
+        DocSignals(id, n.toLong, nd.toLong, distinctRatio, topWordFrac,
+          dupBigramFrac, dupTrigramFrac, meanWordLen, sw, if (keep) 1L else 0L)
+      }.toDF()
+  }
+
+  // PII patterns — shared Java/RE2 subset (no \b, no lookaround, no
+  // backrefs) so Spark's regexp_* and the DuckDB oracle see the SAME
+  // pattern string with the same semantics.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Deterministic PII-bearing payload per document (the corpus itself is
+    * PII-free, which would make the scrub vacuous): class = doc_id % 4
+    * injects two emails / one phone / one IP / nothing. */
+  def piiPayload(id: Long, text: String): String = {
+    val head = text.split(" ").take(5).mkString(" ")
+    (id % 4) match {
+      case 0 => s"reach user$id at user$id@mail.example.com or x.user$id@sub.example.org about $head"
+      case 1 => s"call user$id on 555-01${id % 10}-${1000 + id % 9000} regarding $head"
+      case 2 => s"host for user$id is 10.${id % 256}.${(id / 256) % 256}.1 serving $head"
+      case _ => s"clean note from user$id about $head"
+    }
+  }
+
+  /** PII scrub: count then redact emails, phone numbers, IPv4s with
+    * codegen'd regexp built-ins (no UDF). Row-local — scales as a pure
+    * map over any corpus size. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => (id, piiPayload(id, text)) }
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        // patterns passed as Columns, not through the SQL parser — the
+        // backslashes in the regexes reach the engine verbatim
+        size(regexp_extract_all(col("payload"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("payload"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("payload"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("payload"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("scrubbed"))
+  }
+
+  /** Per-domain quota sampling: keep at most `quota` documents per source,
+    * chosen by a deterministic hash rank (Hash61.mix of doc_id) so the
+    * sample is stable across runs, partitions, and retries — the standard
+    * way to cap dominant domains in a web-scale corpus. One shuffle
+    * (hash-partition by source); the window never materializes more than
+    * a partition. */
+  def samplePerDomain(spark: SparkSession, sfDir: String, quota: Int = 20): DataFrame = {
+    import spark.implicits._
+    val ranked = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)]
+      .map { case (id, src) => (id, src, Hash61.mix(id)) }
+      .toDF("doc_id", "source", "rank_key")
+    ranked
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("rank_key"), col("doc_id"))))
+      .where(col("rn") <= quota)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("sample_rank"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.spark.Quality
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-quality operators: the signals must actually discriminate on
+  * the synthetic corpus (a constant keep flag would be a vacuous oracle),
+  * the PII scrub must hit every payload class, and the per-domain sample
+  * must be deterministic and plan-shaped for scale. */
+class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("quality signals: keep flag splits the corpus, ratios in range") {
+    val rows = Quality.signals(spark, sfDir)
+      .select("keep", "distinct_ratio", "mean_word_len")
+      .collect()
+    val kept = rows.count(_.getLong(0) == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"keep flag must discriminate: $kept of ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+
+  test("pii scrub: every class hit, redaction complete") {
+    val rows = Quality.piiScrub(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (id, emails, phones, ips, scrubbed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      (id % 4) match {
+        case 0 => assert(emails == 2 && phones == 0 && ips == 0, r.toString)
+        case 1 => assert(emails == 0 && phones == 1 && ips == 0, r.toString)
+        case 2 => assert(emails == 0 && phones == 0 && ips == 1, r.toString)
+        case _ => assert(emails == 0 && phones == 0 && ips == 0, r.toString)
+      }
+      assert(!scrubbed.matches(s".*${Quality.EmailRe}.*"), scrubbed)
+      assert(!scrubbed.matches(s".*${Quality.PhoneRe}.*"), scrubbed)
+      assert(!scrubbed.matches(s".*${Quality.Ipv4Re}.*"), scrubbed)
+    }
+  }
+
+  test("per-domain sample: quota respected, deterministic across runs") {
+    val a = Quality.samplePerDomain(spark, sfDir, quota = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Quality.samplePerDomain(spark, sfDir, quota = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "sample must be stable across runs")
+    val perSource = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perSource.values.forall(_ <= 5))
+    assert(perSource.nonEmpty)
+  }
+
+  test("plans: row-local ops never shuffle; the sample shuffles exactly once") {
+    assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
+      "quality signals are row-local")
+    val pii = finalPlan(Quality.piiScrub(spark, sfDir))
+    assert(!pii.contains("Exchange"), "pii scrub is row-local")
+    val sample = finalPlan(Quality.samplePerDomain(spark, sfDir))
+    assert("Exchange ".r.findAllIn(sample).size == 1,
+      "per-domain sample needs exactly the source hash-partition\n" + sample)
+    assert(sample.contains("hashpartitioning(source"), sample)
+  }
+}
