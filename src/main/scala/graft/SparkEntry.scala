@@ -338,6 +338,11 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
     }),
+    "q_session_stats" -> ((s, dir) =>
+      // per-session rows (µs-exact bounds) — the batch face of the
+      // stateful streaming sessionizer; StreamingSpec pins streaming ==
+      // batch, this oracle pins batch == DuckDB
+      StreamingSessionize.sessionStats(s, dir)),
     "q_lineitem_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag", "l_linestatus")
@@ -835,6 +840,14 @@ object SparkEntry {
         "epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session FROM (" +
         "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events) t1) t2 GROUP BY user_id"),
+    "q_session_stats" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT user_id, event_id, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e), " +
+        "f AS (SELECT user_id, event_id, us, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT user_id, event_id, us, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f) " +
+        "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, " +
+        "MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, session_idx"),
     "q_lineitem_agg" ->
       ("SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus"),

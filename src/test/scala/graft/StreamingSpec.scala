@@ -50,4 +50,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("stateful streaming sessionization equals the batch session stats") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+
+    // feed the real events table in 3 event-time-ordered micro-batches
+    // (the operator's documented per-user in-order contract), then a
+    // far-future flush event so the watermark closes every open session
+    val events = s.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_id", "ts")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .collect().sortBy(e => (e._3.getTime, e._2)).toSeq
+    val flushTs = new java.sql.Timestamp(events.last._3.getTime + 30L * 24 * 3600 * 1000)
+
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = graft.spark.StreamingSessionize
+      .sessionize(stream.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    events.grouped(math.max(events.size / 3, 1)).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    stream.addData(Seq((-1L, 0L, flushTs))); q.processAllAvailable()
+    stream.addData(Seq((-1L, 1L, flushTs))); q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("sessions_stream")
+      .where($"user_id" >= 0)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val batch = graft.spark.StreamingSessionize.sessionStats(s, sfDir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
