@@ -22,6 +22,22 @@ object StreamingExtract {
     turns.mapPartitions { it => it.map(t => ExtractJob.extractTurn(t, opts)) }
   }
 
+  /** Streaming exact dedup: first-seen row per content digest, duplicate
+    * arrivals dropped via the watermark-bounded state store
+    * (`dropDuplicatesWithinWatermark` — state for a digest is evicted once
+    * the watermark passes its arrival + delay, so the store is bounded by
+    * the dedup horizon, not corpus size). The streaming counterpart of the
+    * batch `dedup_exact`/`dedup_rewrite` pair; StreamingSpec pins
+    * first-seen-wins against the batch digests. `rows` needs (text, ts). */
+  def dedupStream(rows: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    rows
+      .withColumn("digest", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("digest")
+  }
+
   /** File-source streaming over a directory of transcript parquet. */
   def fromParquetDir(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): Dataset[Turn] = {

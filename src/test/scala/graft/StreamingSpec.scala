@@ -87,4 +87,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long, Long)].collect().sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming dedup keeps the first-seen row per digest") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().take(30).toSeq
+    val t0 = TranscriptGen.FixedEpochMs
+    val originals = docs.map { case (id, text) =>
+      (id, text, new java.sql.Timestamp(t0 + id)) }
+    // re-arrivals of the same texts under new ids, later but within the
+    // watermark delay — all must be dropped
+    val dupes = docs.map { case (id, text) =>
+      (id + 1000L, text, new java.sql.Timestamp(t0 + 60000L + id)) }
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.spark.StreamingExtract
+      .dedupStream(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData(originals); q.processAllAvailable()
+    stream.addData(dupes); q.processAllAvailable()
+    q.stop()
+
+    val survivors = s.table("dedup_stream")
+      .select("doc_id", "digest").as[(Long, String)].collect().toSeq
+    val expectedDigests = docs.map(_._2).distinct.size
+    assert(survivors.size == expectedDigests)
+    assert(survivors.forall(_._1 < 1000L), "a duplicate re-arrival survived")
+  }
 }
