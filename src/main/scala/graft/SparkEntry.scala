@@ -290,6 +290,27 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
 
+    "vocab_topk" -> ((s, dir) => {
+      // vocabulary building: global top-50 words — explode is the only
+      // row-multiplying step and collapses immediately into a map-side
+      // partial count; the LIMIT is a TakeOrdered top-k, never a global
+      // sort (PlanSpec-style contract asserted in QualitySpec)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(50)
+    }),
+    "corpus_stats_by_domain" -> ((s, dir) => {
+      // per-source curation dashboard row: volume, size, exact distinct
+      // content count (the dedup rate's denominator)
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(md5(col("text"))).as("n_unique_texts"))
+    }),
+
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -637,6 +658,15 @@ object SparkEntry {
       (s"WITH r AS (SELECT doc_id, source, ${Hash61.mixSql("doc_id::HUGEINT")} AS rk FROM documents), " +
         "w AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn FROM r) " +
         "SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM w WHERE rn <= 20"),
+    "vocab_topk" ->
+      ("SELECT w AS word, COUNT(*) AS cnt FROM (" +
+        "SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w " +
+        "FROM documents) GROUP BY w ORDER BY cnt DESC, word LIMIT 50"),
+    "corpus_stats_by_domain" ->
+      ("SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "COUNT(DISTINCT md5(text)) AS n_unique_texts " +
+        "FROM documents GROUP BY source"),
     "text_metrics" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words, " +

@@ -71,6 +71,14 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSource.nonEmpty)
   }
 
+  test("vocab top-k: map-side partial count, top-k without global sort") {
+    val plan = finalPlan(SparkEntry.queries("vocab_topk")(spark, sfDir))
+    assert(plan.contains("partial_count"),
+      "word counts must combine map-side before the exchange\n" + plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "LIMIT 50 must be top-k, not a global sort\n" + plan)
+  }
+
   test("plans: row-local ops never shuffle; the sample shuffles exactly once") {
     assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
       "quality signals are row-local")
