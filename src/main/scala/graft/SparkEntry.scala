@@ -290,6 +290,31 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
 
+    "curate_pipeline" -> ((s, dir) => {
+      // end-to-end curation: extraction → quality gate → per-domain
+      // quota, with extraction and the signal kernel FUSED into one
+      // row-local map — nothing shuffles until the final per-source
+      // window, the pipeline's only exchange at any corpus size
+      import s.implicits._
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "n_chars", "source")
+        .where(col("n_chars") >= MinChars)
+        .as[(Long, String, Long, String)]
+        .map { case (id, text, _, src) =>
+          val turn = Turn(TranscriptGen.convOf(id), id.toInt, "assistant",
+            TranscriptGen.htmlWrap(id, text), "",
+            new java.sql.Timestamp(TranscriptGen.FixedEpochMs))
+          val et = ExtractJob.extractTurn(turn, ExtractOptions()).extracted_text
+          val sig = Quality.computeSignals(id, et)
+          (id, src, Hash61.mix(id), sig.n_words, sig.keep)
+        }.toDF("doc_id", "source", "rank_key", "n_words", "keep")
+      rows.where(col("keep") === 1)
+        .withColumn("sample_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("rank_key"), col("doc_id"))).cast("long"))
+        .where(col("sample_rank") <= 5)
+        .select("doc_id", "source", "sample_rank", "n_words")
+    }),
     "vocab_topk" -> ((s, dir) => {
       // vocabulary building: global top-50 words — explode is the only
       // row-multiplying step and collapses immediately into a map-side
@@ -424,6 +449,40 @@ object SparkEntry {
     "WITH wdocs AS (SELECT doc_id, list_transform(" +
       "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
       s"w -> ${Hash61.wordHashSql("w")}) AS whs FROM documents)"
+  }
+
+  /** CTE chain replaying [[graft.spark.Quality.computeSignals]] over
+    * `textExpr` (a SQL expression in the `documents` columns): ends in
+    * relation q(doc_id, n_words, n_distinct, distinct_ratio,
+    * top_word_frac, dup_bigram_frac, dup_trigram_frac, mean_word_len,
+    * stopword_count, keep). Shared by `quality_signals` (over the raw
+    * text) and `curate_pipeline` (over the extracted text). */
+  private def qualityCtes(textExpr: String, where: String): String = {
+    import graft.spark.Quality._
+    def mm(l: String) =
+      s"coalesce(list_max(list_transform(list_distinct($l), u -> len(list_filter($l, x -> x = u)))), 0)"
+    s"WITH w AS (SELECT doc_id, list_filter(string_split($textExpr, ' '), x -> x <> '') AS ws FROM documents $where), " +
+      "c AS (SELECT doc_id, ws, len(ws) AS n, " +
+      "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg, " +
+      "list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg FROM w), " +
+      "m AS (SELECT doc_id, n, len(list_distinct(ws)) AS nd, " +
+      s"${mm("ws")} AS mw, " +
+      s"CASE WHEN n > 1 THEN ${mm("bg")} ELSE 0 END AS mb, " +
+      s"CASE WHEN n > 2 THEN ${mm("tg")} ELSE 0 END AS mt, " +
+      "list_reduce(list_prepend(0, list_transform(ws, x -> length(x))), (a, b) -> a + b) AS sl, " +
+      s"len(list_filter(ws, x -> list_contains([${StopEn.map(s => s"'$s'").mkString(",")}], x))) AS sw FROM c), " +
+      "r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(nd AS BIGINT) AS n_distinct, " +
+      "CAST(nd AS DOUBLE) / greatest(n, 1) AS distinct_ratio, " +
+      "CAST(mw AS DOUBLE) / greatest(n, 1) AS top_word_frac, " +
+      "CASE WHEN n > 1 THEN CAST(mb AS DOUBLE) / (n - 1) ELSE 0.0 END AS dup_bigram_frac, " +
+      "CASE WHEN n > 2 THEN CAST(mt AS DOUBLE) / (n - 2) ELSE 0.0 END AS dup_trigram_frac, " +
+      "CAST(sl AS DOUBLE) / greatest(n, 1) AS mean_word_len, " +
+      "CAST(sw AS BIGINT) AS stopword_count FROM m), " +
+      "q AS (SELECT *, CAST(CASE WHEN " +
+      s"mean_word_len >= $MeanWordLenMin AND mean_word_len <= $MeanWordLenMax " +
+      s"AND stopword_count >= $MinStopwords AND distinct_ratio >= $MinDistinctRatio " +
+      s"AND dup_bigram_frac <= $MaxDupBigramFrac AND dup_trigram_frac <= $MaxDupTrigramFrac " +
+      s"AND top_word_frac <= $MaxTopWordFrac THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r) "
   }
 
   /** DuckDB-equivalent SQL per oracle-checkable query. Column names match
@@ -606,32 +665,20 @@ object SparkEntry {
     // Gopher/C4-style quality signals: per-row list algebra; every ratio
     // is the same single int/int double division the Scala kernel does,
     // and the keep flag compares those doubles to the shared literals.
-    "quality_signals" -> {
-      import graft.spark.Quality._
-      def mm(l: String) =
-        s"coalesce(list_max(list_transform(list_distinct($l), u -> len(list_filter($l, x -> x = u)))), 0)"
-      "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
-        "c AS (SELECT doc_id, ws, len(ws) AS n, " +
-        "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg, " +
-        "list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg FROM w), " +
-        "m AS (SELECT doc_id, n, len(list_distinct(ws)) AS nd, " +
-        s"${mm("ws")} AS mw, " +
-        s"CASE WHEN n > 1 THEN ${mm("bg")} ELSE 0 END AS mb, " +
-        s"CASE WHEN n > 2 THEN ${mm("tg")} ELSE 0 END AS mt, " +
-        "list_reduce(list_prepend(0, list_transform(ws, x -> length(x))), (a, b) -> a + b) AS sl, " +
-        s"len(list_filter(ws, x -> list_contains([${StopEn.map(s => s"'$s'").mkString(",")}], x))) AS sw FROM c), " +
-        "r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(nd AS BIGINT) AS n_distinct, " +
-        "CAST(nd AS DOUBLE) / greatest(n, 1) AS distinct_ratio, " +
-        "CAST(mw AS DOUBLE) / greatest(n, 1) AS top_word_frac, " +
-        "CASE WHEN n > 1 THEN CAST(mb AS DOUBLE) / (n - 1) ELSE 0.0 END AS dup_bigram_frac, " +
-        "CASE WHEN n > 2 THEN CAST(mt AS DOUBLE) / (n - 2) ELSE 0.0 END AS dup_trigram_frac, " +
-        "CAST(sl AS DOUBLE) / greatest(n, 1) AS mean_word_len, " +
-        "CAST(sw AS BIGINT) AS stopword_count FROM m) " +
-        "SELECT *, CAST(CASE WHEN " +
-        s"mean_word_len >= $MeanWordLenMin AND mean_word_len <= $MeanWordLenMax " +
-        s"AND stopword_count >= $MinStopwords AND distinct_ratio >= $MinDistinctRatio " +
-        s"AND dup_bigram_frac <= $MaxDupBigramFrac AND dup_trigram_frac <= $MaxDupTrigramFrac " +
-        s"AND top_word_frac <= $MaxTopWordFrac THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r"
+    "quality_signals" -> (qualityCtes("text", "") + "SELECT * FROM q"),
+    // The composed pipeline oracle: the roundtrip closed form feeds the
+    // quality CTEs, keepers join back for source, the quota window uses
+    // the same Hash61.mix rank.
+    "curate_pipeline" -> {
+      val et = "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+      qualityCtes(et, s"WHERE n_chars >= $MinChars") +
+        ", k AS (SELECT q.doc_id, d3.source, q.n_words FROM q " +
+        "JOIN documents d3 ON d3.doc_id = q.doc_id WHERE q.keep = 1), " +
+        "rk AS (SELECT doc_id, source, n_words, row_number() OVER " +
+        s"(PARTITION BY source ORDER BY ${Hash61.mixSql("doc_id::HUGEINT")}, doc_id) AS rn FROM k) " +
+        "SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank, n_words " +
+        "FROM rk WHERE rn <= 5"
     },
     // PII scrub: the payload is closed-form in (doc_id, first 5 words);
     // counts + redaction replay with the SAME pattern strings (shared

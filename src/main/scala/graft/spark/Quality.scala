@@ -47,37 +47,42 @@ object Quality {
     best
   }
 
-  /** Per-document quality signals. Every ratio is a single int/int double
+  /** The pure signal kernel — every ratio is a single int/int double
     * division, so the DuckDB oracle reproduces each value bit-exactly;
     * the keep flag compares those doubles against shared literals. */
+  def computeSignals(id: Long, text: String): DocSignals = {
+    val ws = text.split(" ").filter(_.nonEmpty)
+    val n = ws.length
+    val nEff = math.max(n, 1)
+    val nd = ws.distinct.length
+    val mw = maxMult(ws.iterator)
+    val mb = if (n > 1) maxMult(ws.iterator.sliding(2).map(_.mkString(" "))) else 0
+    val mt = if (n > 2) maxMult(ws.iterator.sliding(3).map(_.mkString(" "))) else 0
+    val sumLen = ws.foldLeft(0)(_ + _.length)
+    val sw = ws.count(StopSet.contains).toLong
+    val distinctRatio = nd.toDouble / nEff
+    val topWordFrac = mw.toDouble / nEff
+    val dupBigramFrac = if (n > 1) mb.toDouble / (n - 1) else 0.0
+    val dupTrigramFrac = if (n > 2) mt.toDouble / (n - 2) else 0.0
+    val meanWordLen = sumLen.toDouble / nEff
+    val keep =
+      meanWordLen >= MeanWordLenMin && meanWordLen <= MeanWordLenMax &&
+        sw >= MinStopwords && distinctRatio >= MinDistinctRatio &&
+        dupBigramFrac <= MaxDupBigramFrac &&
+        dupTrigramFrac <= MaxDupTrigramFrac && topWordFrac <= MaxTopWordFrac
+    DocSignals(id, n.toLong, nd.toLong, distinctRatio, topWordFrac,
+      dupBigramFrac, dupTrigramFrac, meanWordLen, sw, if (keep) 1L else 0L)
+  }
+
+  private val StopSet = StopEn.toSet
+
+  /** Per-document quality signals over the corpus (row-local map). */
   def signals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val stop = StopEn.toSet
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) =>
-        val ws = text.split(" ").filter(_.nonEmpty)
-        val n = ws.length
-        val nEff = math.max(n, 1)
-        val nd = ws.distinct.length
-        val mw = maxMult(ws.iterator)
-        val mb = if (n > 1) maxMult(ws.iterator.sliding(2).map(_.mkString(" "))) else 0
-        val mt = if (n > 2) maxMult(ws.iterator.sliding(3).map(_.mkString(" "))) else 0
-        val sumLen = ws.foldLeft(0)(_ + _.length)
-        val sw = ws.count(stop.contains).toLong
-        val distinctRatio = nd.toDouble / nEff
-        val topWordFrac = mw.toDouble / nEff
-        val dupBigramFrac = if (n > 1) mb.toDouble / (n - 1) else 0.0
-        val dupTrigramFrac = if (n > 2) mt.toDouble / (n - 2) else 0.0
-        val meanWordLen = sumLen.toDouble / nEff
-        val keep =
-          meanWordLen >= MeanWordLenMin && meanWordLen <= MeanWordLenMax &&
-            sw >= MinStopwords && distinctRatio >= MinDistinctRatio &&
-            dupBigramFrac <= MaxDupBigramFrac &&
-            dupTrigramFrac <= MaxDupTrigramFrac && topWordFrac <= MaxTopWordFrac
-        DocSignals(id, n.toLong, nd.toLong, distinctRatio, topWordFrac,
-          dupBigramFrac, dupTrigramFrac, meanWordLen, sw, if (keep) 1L else 0L)
-      }.toDF()
+      .map { case (id, text) => computeSignals(id, text) }
+      .toDF()
   }
 
   // PII patterns — shared Java/RE2 subset (no \b, no lookaround, no

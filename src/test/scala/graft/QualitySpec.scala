@@ -79,6 +79,12 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "LIMIT 50 must be top-k, not a global sort\n" + plan)
   }
 
+  test("curate pipeline: extraction+signals fused row-local, one exchange total") {
+    val plan = finalPlan(SparkEntry.queries("curate_pipeline")(spark, sfDir))
+    assert("Exchange ".r.findAllIn(plan).size == 1,
+      "extract → quality → quota must shuffle only for the per-source window\n" + plan)
+  }
+
   test("plans: row-local ops never shuffle; the sample shuffles exactly once") {
     assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
       "quality signals are row-local")
