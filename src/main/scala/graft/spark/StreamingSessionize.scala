@@ -69,7 +69,11 @@ object StreamingSessionize {
             }
             if (cur != null) {
               state.update(cur)
-              // close via timeout once the watermark passes last + gap
+              // close via timeout once the watermark passes last + gap.
+              // This timestamp is always strictly beyond the watermark:
+              // the engine filters behind-watermark rows before this
+              // operator (StreamingSpec pins that), so last_us >= wm and
+              // last + gap > wm — setTimeoutTimestamp cannot throw.
               state.setTimeoutTimestamp(cur.last_us / 1000L + gapUs / 1000L)
             }
             out.result().iterator

@@ -88,6 +88,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("behind-watermark arrivals are filtered before the sessionizer (no crash)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val t0 = 1700000000000L
+
+    val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = graft.spark.StreamingSessionize
+      .sessionize(stream.toDF().toDF("user_id", "event_id", "ts"))
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // batch 1 pushes the watermark far ahead; batch 2 brings a NEW user
+    // whose only event is already behind it — the engine drops the row
+    // before the stateful operator (this is the invariant that makes
+    // setTimeoutTimestamp safe: events reaching it are never behind the
+    // watermark), so no session and no exception
+    stream.addData(Seq((1L, 0L, new java.sql.Timestamp(t0 + 100L * 3600 * 1000))))
+    q.processAllAvailable()
+    stream.addData(Seq((2L, 1L, new java.sql.Timestamp(t0))))
+    q.processAllAvailable()
+    q.stop()
+    val lateUser = s.table("late_sessions").where($"user_id" === 2L).count()
+    assert(lateUser == 0L, "behind-watermark row must be filtered, not sessionized")
+  }
+
   test("streaming dedup keeps the first-seen row per digest") {
     val s = spark
     import s.implicits._
