@@ -96,7 +96,9 @@ object Quality {
     * PII-free, which would make the scrub vacuous): class = doc_id % 4
     * injects two emails / one phone / one IP / nothing. */
   def piiPayload(id: Long, text: String): String = {
-    val head = text.split(" ").take(5).mkString(" ")
+    // empty tokens filtered BEFORE slicing — same word model as
+    // computeSignals and the DuckDB oracle's list_filter-then-[1:5]
+    val head = text.split(" ").filter(_.nonEmpty).take(5).mkString(" ")
     (id % 4) match {
       case 0 => s"reach user$id at user$id@mail.example.com or x.user$id@sub.example.org about $head"
       case 1 => s"call user$id on 555-01${id % 10}-${1000 + id % 9000} regarding $head"

@@ -74,7 +74,11 @@ object StreamingSessionize {
               // the engine filters behind-watermark rows before this
               // operator (StreamingSpec pins that), so last_us >= wm and
               // last + gap > wm — setTimeoutTimestamp cannot throw.
-              state.setTimeoutTimestamp(cur.last_us / 1000L + gapUs / 1000L)
+              // Ceil to ms: a floored timeout could fire up to 999µs
+              // before last+gap (and a sub-ms gapUs would truncate to 0);
+              // firing late is safe — the gap rule itself is enforced on
+              // the event path above, the timeout only flushes idle state.
+              state.setTimeoutTimestamp((cur.last_us + gapUs + 999L) / 1000L)
             }
             out.result().iterator
           }

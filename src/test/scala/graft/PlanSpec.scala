@@ -2,6 +2,7 @@ package graft
 
 import graft.spark.{ExtractJob, TranscriptGen, Turn}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.PlanTestUtil.finalPlan
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -26,13 +27,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
-
-  /** Final executed plan string (run the query so AQE finalizes; strip
-    * the "== Initial Plan ==" echo so nothing is counted twice). */
-  private def finalPlan(df: DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
 
   test("roundtrip scan: filter pushed to parquet, columns pruned, no shuffle") {
     val plan = finalPlan(SparkEntry.queries("extract_roundtrip")(spark, sfDir))

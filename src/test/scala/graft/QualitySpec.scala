@@ -2,6 +2,7 @@ package graft
 
 import graft.spark.Quality
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.PlanTestUtil.finalPlan
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,11 +25,6 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
-
-  private def finalPlan(df: DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
 
   test("quality signals: keep flag splits the corpus, ratios in range") {
     val rows = Quality.signals(spark, sfDir)

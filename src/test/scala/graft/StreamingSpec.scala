@@ -21,6 +21,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** Microsecond epoch — the operator's event-time resolution; feeding in
+    * ms order could misorder same-ms event pairs. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
   test("streaming extraction equals batch extraction") {
     val s = spark
     import s.implicits._
@@ -63,7 +68,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val events = s.read.parquet(s"$sfDir/events.parquet")
       .selectExpr("user_id", "event_id", "ts")
       .as[(Long, Long, java.sql.Timestamp)]
-      .collect().sortBy(e => (e._3.getTime, e._2)).toSeq
+      .collect().sortBy(e => (micros(e._3), e._2)).toSeq
     val flushTs = new java.sql.Timestamp(events.last._3.getTime + 30L * 24 * 3600 * 1000)
 
     val stream = MemoryStream[(Long, Long, java.sql.Timestamp)]
