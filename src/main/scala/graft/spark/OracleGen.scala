@@ -115,6 +115,65 @@ object OracleGen {
     "list_reduce(list_prepend(0.0, list_transform(range(1, dim + 1), " +
       s"dj_ -> ($cv[dj_] - $vv[dj_]) * ($cv[dj_] - $vv[dj_]))), (dx_, dy_) -> dx_ + dy_)"
 
+  // squared distance of sub-centroid list `cv` (length `sub`) vs the s-th
+  // slice of full vector `vv`; `sub` must be a plain column in scope.
+  private def subDistSql(cv: String, vv: String, sExpr: String): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, sub + 1), " +
+      s"sj_ -> ($cv[sj_] - $vv[($sExpr) * sub + sj_]) * ($cv[sj_] - $vv[($sExpr) * sub + sj_]))), " +
+      "(sx_, sy_) -> sx_ + sy_)"
+
+  /** Replays [[Similarity.pqTopK]] end to end: per-subspace Lloyd
+    * training (the IVF replay with a subspace grouping column), corpus
+    * codes, ADC distances summed in subspace order (`list_reduce` over
+    * `list(d ORDER BY s)` — the JVM folds s ascending), top-`shortlist`
+    * by (approx, id), exact cosine re-rank. Same sampleCap assumption as
+    * [[ivfTopKSql]]. */
+  def pqTopKSql(m: Int = 8, ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5): String = {
+    val sb = new StringBuilder(embHead)
+    sb.append(s", pd AS (SELECT dim // $m AS sub FROM dims)")
+    sb.append(s", sp AS (SELECT unnest(range(0, $m)) AS s)")
+    sb.append(", ps0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
+    sb.append(", pcent0 AS (SELECT sp.s, ps0.c, " +
+      "list_transform(range(1, sub + 1), j0_ -> ps0.v[sp.s * sub + j0_]) AS cv " +
+      s"FROM ps0 CROSS JOIN sp CROSS JOIN pd WHERE ps0.c < $ksub)")
+    for (i <- 1 to lloydIters) {
+      val prev = s"pcent${i - 1}"
+      sb.append(s", pq$i AS (SELECT e.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "e.v", "c0.s")} AS d " +
+        s"FROM e CROSS JOIN $prev c0 CROSS JOIN pd)")
+      sb.append(s", pa$i AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+        s"row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM pq$i) WHERE rn = 1)")
+      // ordered elementwise slice sum (vec_id order == JVM accumulation)
+      sb.append(s", pm$i AS (SELECT a.s, a.c, count(*) AS cnt, " +
+        "list_reduce(list(list_transform(range(1, sub + 1), mj_ -> e.v[a.s * sub + mj_]) ORDER BY e.vec_id), " +
+        "(mx_, my_) -> list_transform(range(1, sub + 1), ej_ -> mx_[ej_] + my_[ej_])) AS sums " +
+        s"FROM pa$i a JOIN e ON e.vec_id = a.vec_id CROSS JOIN pd GROUP BY a.s, a.c, sub)")
+      sb.append(s", pcent$i AS (SELECT c0.s, c0.c, CASE WHEN pm.c IS NULL THEN c0.cv " +
+        "ELSE list_transform(range(1, sub + 1), cj_ -> pm.sums[cj_] / pm.cnt) END AS cv " +
+        s"FROM $prev c0 CROSS JOIN pd LEFT JOIN pm$i pm ON c0.s = pm.s AND c0.c = pm.c)")
+    }
+    val cf = s"pcent$lloydIters"
+    sb.append(s", cdist AS (SELECT e.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "e.v", "c0.s")} AS d " +
+      s"FROM e CROSS JOIN $cf c0 CROSS JOIN pd)")
+    sb.append(", codes AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM cdist) WHERE rn = 1)")
+    sb.append(s", q AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
+    // ADC: the query rows of cdist ARE the lookup tables dt(s, c)
+    sb.append(", ax AS (SELECT dt.vec_id AS query_id, cd.vec_id AS corpus_id, " +
+      "list_reduce(list_prepend(0.0, list(dt.d ORDER BY dt.s)), (ax_, ay_) -> ax_ + ay_) AS ad " +
+      "FROM cdist dt JOIN q ON dt.vec_id = q.vec_id " +
+      "JOIN codes cd ON cd.s = dt.s AND cd.c = dt.c " +
+      "WHERE cd.vec_id <> dt.vec_id GROUP BY dt.vec_id, cd.vec_id)")
+    sb.append(s", cand AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY ad, corpus_id) AS rn FROM ax) WHERE rn <= $shortlist)")
+    sb.append(", sc AS (SELECT c.query_id, c.corpus_id, " +
+      "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
+      "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
+      "JOIN e qe ON qe.vec_id = c.query_id) ")
+    sb.append(rankTail + k)
+    sb.toString
+  }
+
   /** Replays [[Similarity.ivfTopK]] incl. quantizer training: init =
     * lowest-vec_id vectors, `lloydIters` unrolled Lloyd steps (ordered
     * elementwise sums → bit-exact means), full-corpus assignment, nprobe

@@ -172,6 +172,169 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  // ---------- product quantization (PQ + ADC scan) ----------
+
+  /** Per-subspace codebooks: `cents(s)(c)` is the c-th centroid of
+    * subspace s (each `sub` dims wide). Trained like the IVF quantizer —
+    * same bounded sample, same deterministic Lloyd — so the DuckDB oracle
+    * replays training, codes, and ADC distances bit-exactly. */
+  private[spark] final class PqCodebook(
+      val cents: Array[Array[Array[Double]]]) extends Serializable {
+    val m: Int = cents.length
+    val ksub: Int = cents(0).length
+    val sub: Int = cents(0)(0).length
+
+    /** Squared distance of v's s-th slice to centroid (s, c). */
+    def distSq(s: Int, c: Int, v: Array[Float]): Double = {
+      val cv = cents(s)(c); val off = s * sub
+      var d = 0.0; var j = 0
+      while (j < sub) { val t = cv(j) - v(off + j); d += t * t; j += 1 }
+      d
+    }
+
+    /** Per-subspace nearest-centroid codes (ties → lowest c). */
+    def encode(v: Array[Float]): Array[Int] = {
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          val d = distSq(s, c, v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best; s += 1
+      }
+      out
+    }
+
+    /** ADC lookup table for one query: dt(s)(c) = ||q_s − cent(s,c)||². */
+    def adcTable(q: Array[Float]): Array[Array[Double]] =
+      Array.tabulate(m, ksub)((s, c) => distSq(s, c, q))
+  }
+
+  private[spark] def trainPq(emb: Dataset[(Long, Array[Float])],
+      m: Int, ksub: Int, lloydIters: Int, sampleCap: Int): PqCodebook = {
+    val sample = emb.orderBy("vec_id").limit(sampleCap).collect()
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val cents = Array.tabulate(m) { s =>
+      val off = s * sub
+      var cs = Array.tabulate(ksub) { c =>
+        val v = sample(c % sample.length)._2
+        Array.tabulate(sub)(j => v(off + j).toDouble)
+      }
+      def nearest(v: Array[Float]): Int = {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          var d = 0.0; var j = 0
+          val cv = cs(c)
+          while (j < sub) { val t = cv(j) - v(off + j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      var iter = 0
+      while (iter < lloydIters) {
+        val sums = Array.fill(ksub)(new Array[Double](sub))
+        val cnts = new Array[Long](ksub)
+        sample.foreach { case (_, v) => // vec_id order ⇒ deterministic sums
+          val c = nearest(v)
+          cnts(c) += 1
+          var j = 0
+          while (j < sub) { sums(c)(j) += v(off + j); j += 1 }
+        }
+        cs = Array.tabulate(ksub) { c =>
+          if (cnts(c) == 0) cs(c)
+          else { val a = sums(c); var j = 0; while (j < sub) { a(j) /= cnts(c); j += 1 }; a }
+        }
+        iter += 1
+      }
+      cs
+    }
+    new PqCodebook(cents)
+  }
+
+  /** PQ/ADC ANN: the memory-bound scale path — the corpus scan touches
+    * only `m` table lookups per (vector, query) instead of `dim`
+    * multiplies, and at 100 TB only the m-byte codes (not the raw
+    * vectors) need to stay hot. One corpus pass encodes and scores
+    * against the broadcast ADC tables with a PER-PARTITION bounded heap
+    * (so the shortlist shuffle carries ≤ partitions·queries·R rows, not
+    * the corpus); the global top-R shortlist re-ranks exactly. */
+  def pqTopK(spark: SparkSession, sfDir: String,
+      m: Int = 8, ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5,
+      sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    pqTopKOn(spark, emb, emb.orderBy("vec_id").limit(numQueries),
+      m, ksub, shortlist, k, lloydIters, sampleCap)
+  }
+
+  /** Dataset-level PQ core (tests plant synthetic near-dups here). */
+  def pqTopKOn(spark: SparkSession, emb: Dataset[(Long, Array[Float])],
+      queryRows: Dataset[(Long, Array[Float])],
+      m: Int, ksub: Int, shortlist: Int, k: Int,
+      lloydIters: Int, sampleCap: Int): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val embDF = emb.toDF("vec_id", "embedding")
+
+    val cb = trainPq(emb, m, ksub, lloydIters, sampleCap)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // bounded: the query rows on the driver, their ADC tables broadcast
+    val qTables = queryRows.collect().map { case (id, v) => (id, cb.adcTable(v)) }
+    val bcQ = spark.sparkContext.broadcast(qTables)
+
+    val approx = emb.mapPartitions { it =>
+      val cbv = bcCb.value; val qts = bcQ.value
+      // per-query max-heap of (approx_d, corpus_id): keeps the R smallest
+      val heaps = scala.collection.mutable.LinkedHashMap[Long,
+        scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      it.foreach { case (cid, v) =>
+        val code = cbv.encode(v)
+        qts.foreach { case (qid, dt) =>
+          if (cid != qid) {
+            var ad = 0.0; var s = 0
+            while (s < cbv.m) { ad += dt(s)(code(s)); s += 1 }
+            val h = heaps.getOrElseUpdate(qid,
+              scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+            h.enqueue((ad, cid))
+            if (h.size > shortlist) { h.dequeue(); () }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (ad, cid) => (qid, cid, ad) } }
+    }.toDF("query_id", "corpus_id", "approx_d")
+
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_d"), col("corpus_id"))
+    val cand = approx.withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= shortlist)
+      .select("query_id", "corpus_id")
+
+    // exact cosine re-rank of the tiny shortlist (broadcast) vs corpus
+    val corpus = normed(embDF, "corpus_id")
+    val queries = normed(queryRows.toDF("vec_id", "embedding"), "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val scored = corpus.join(broadcast(cand), "corpus_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot("embedding", "q_embedding") /
+          (col("corpus_id_norm") * col("query_id_norm"))).as("cosine"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   // ---------- multi-band sign-bucket LSH ----------
 
   /** Deterministic hyperplane component for (plane p, dim i):

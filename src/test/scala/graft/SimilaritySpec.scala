@@ -89,6 +89,48 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"IVF recall $recall%.3f too low")
   }
 
+  test("PQ/ADC top-k is deterministic and recalls most of exact top-k") {
+    val exact = topkSet(Similarity.bruteForceTopK(spark, sfDir))
+    val pq1 = topkSet(Similarity.pqTopK(spark, sfDir))
+    val pq2 = topkSet(Similarity.pqTopK(spark, sfDir))
+    assert(pq1 == pq2, "PQ must be deterministic (fixed sample, fixed Lloyd)")
+    assert(pq1.keySet == exact.keySet)
+    val recall = exact.keys.toSeq.map { q =>
+      (pq1(q) intersect exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    // 8-byte codes on 64-dim noise-like vectors with a 32-wide shortlist:
+    // measured ~0.6 at both SFs; bound well under to avoid flake, well
+    // above chance to catch a broken codebook
+    assert(recall >= 0.35, f"PQ recall $recall%.3f too low")
+  }
+
+  test("PQ retrieves planted near-duplicates at rank 1") {
+    // the dup-grade contract (the realistic use): a near-identical copy
+    // quantizes to (nearly) the query's own codes, so its ADC distance is
+    // minimal and the exact re-rank puts it at rank 1
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val planted = emb.map { case (id, v) =>
+      (id + 100000L,
+        v.zipWithIndex.map { case (x, j) => x * (1f + 0.01f * ((j % 5) - 2)) })
+    }
+    val corpus = emb.union(planted)
+    val queries = emb.orderBy("vec_id").limit(10)
+    val rows = Similarity.pqTopKOn(spark, corpus, queries,
+      m = 8, ksub = 16, shortlist = 32, k = 5, lloydIters = 5, sampleCap = 4096)
+      .select("query_id", "rank", "corpus_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    val top1 = rows.filter(_._2 == 1).map(r => r._1 -> (r._3, r._4)).toMap
+    queries.collect().foreach { case (qid, _) =>
+      assert(top1.contains(qid), s"query $qid returned no candidates")
+      assert(top1(qid)._1 == qid + 100000L,
+        s"query $qid top-1 is ${top1(qid)}, not the planted dup")
+      assert(top1(qid)._2 > 0.99)
+    }
+  }
+
   test("LSH multi-band retrieves planted near-duplicates at rank 1, deterministically") {
     // The synthetic corpus is noise-like (measured max pairwise cosine
     // ≈ 0.49), so mid-cosine top-k recall is not LSH's contract — dup-grade
