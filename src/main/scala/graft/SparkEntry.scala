@@ -291,6 +291,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
 
+    "decontaminate" -> ((s, dir) => Quality.decontaminate(s, dir)),
     "curate_pipeline" -> ((s, dir) => {
       // end-to-end curation: extraction → quality gate → per-domain
       // quota, with extraction and the signal kernel FUSED into one
@@ -706,6 +707,30 @@ object SparkEntry {
       (s"WITH r AS (SELECT doc_id, source, ${Hash61.mixSql("doc_id::HUGEINT")} AS rk FROM documents), " +
         "w AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn FROM r) " +
         "SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM w WHERE rn <= 20"),
+    // Benchmark decontamination: the planted payload (12-word eval span
+    // for doc_id % 7 == 3) and the 8-gram Hash61 shingles replay exactly;
+    // corpus-vs-eval overlap is an equi-join on the shingle hash.
+    "decontaminate" -> {
+      val wh = "list_transform(ws, dw_ -> " + Hash61.wordHashSql("dw_") + ")"
+      def sh8(whs: String, iv: String) =
+        s"list_distinct(CASE WHEN len($whs) >= 8 THEN " +
+          s"list_transform(range(1, len($whs) - 6), $iv -> ${Hash61.shingleNSql(whs, iv, 8)}) " +
+          "ELSE []::HUGEINT[] END)"
+      "WITH wd AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "pay AS (SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 3 THEN " +
+        "array_to_string(e.ws[1:12], ' ') || ' ' || d.text ELSE d.text END AS payload " +
+        "FROM documents d JOIN wd e ON e.doc_id = d.doc_id % 50), " +
+        "pw AS (SELECT doc_id, list_filter(string_split(payload, ' '), x -> x <> '') AS ws FROM pay), " +
+        s"ph AS (SELECT doc_id, $wh AS whs FROM pw), " +
+        s"sh AS (SELECT doc_id, ${sh8("whs", "si_")} AS shs FROM ph), " +
+        s"eh AS (SELECT $wh AS whs FROM wd WHERE doc_id < 50), " +
+        s"ev AS (SELECT DISTINCT unnest(${sh8("whs", "ei_")}) AS sg FROM eh), " +
+        "cs AS (SELECT doc_id, unnest(shs) AS sg FROM sh), " +
+        "shr AS (SELECT cs.doc_id, count(*) AS shared FROM cs JOIN ev USING (sg) GROUP BY cs.doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(shr.shared, 0) AS BIGINT) AS shared_ngrams, " +
+        "CAST(CASE WHEN coalesce(shr.shared, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM documents d LEFT JOIN shr ON shr.doc_id = d.doc_id"
+    },
     "vocab_topk" ->
       ("SELECT w AS word, COUNT(*) AS cnt FROM (" +
         "SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w " +

@@ -67,6 +67,16 @@ object Hash61 {
     mix(if (s >= M) s - M else s)
   }
 
+  /** Ordered n-shingle over word hashes `whs(i until i+n)`: left fold
+    * s ← (s·R1 + w) mod M, then mix. (The 3-shingle combiner above
+    * predates this; kept for oracle stability of the dedup family.) */
+  def shingleN(whs: Array[Long], i: Int, n: Int): Long = {
+    var s = 0L
+    var k = 0
+    while (k < n) { s = (mulmod(s, R1) + whs(i + k)) % M; k += 1 }
+    mix(s)
+  }
+
   // ---------- SQL generators (DuckDB HUGEINT mirrors) ----------
   // Each takes a SQL expression string (HUGEINT-valued) and returns the
   // expression computing the same function. Used by SparkEntry.oracleSql.
@@ -104,4 +114,10 @@ object Hash61 {
     * just the mod — one `% M` over the 3-term sum is the same value). */
   def shingle3Sql(a: String, b: String, c: String): String =
     mixSql(s"((($a) * $R1::HUGEINT) % $M + (($b) * $R2::HUGEINT) % $M + ($c)) % $M::HUGEINT")
+
+  /** DuckDB mirror of [[shingleN]] over a HUGEINT-list expression `whs`
+    * starting at 1-based index expression `i`. */
+  def shingleNSql(whs: String, i: String, n: Int): String =
+    mixSql(s"list_reduce(list_prepend(0::HUGEINT, ($whs)[($i):($i) + ${n - 1}]), " +
+      s"(sa_, sb_) -> (sa_ * $R1::HUGEINT + sb_) % $M::HUGEINT)")
 }

@@ -133,6 +133,53 @@ object Quality {
           Ipv4Re, "<IP>").as("scrubbed"))
   }
 
+  /** Benchmark decontamination (the GPT-3 §C / standard eval-overlap
+    * filter): flag corpus documents sharing ≥ `threshold` distinct
+    * `nWords`-gram shingles with the benchmark set (here: doc_id <
+    * `evalSetSize`, whose RAW texts are the "eval suite"). Documents with
+    * doc_id % 7 == 3 get a `spanWords`-word span of their eval doc
+    * spliced in — planted contamination the filter MUST catch; threshold
+    * 3 is the span-shingle count of the shortest (10-word) eval doc
+    * across SFs, so every plant clears it. The generator also reuses
+    * word runs naturally (e.g. sf0.001 doc 50 shares a 15-gram run with
+    * eval doc 0) — those flag too, which is the filter doing its job.
+    *
+    * Scale shape: the eval suite is tiny next to the corpus, so its
+    * shingle set broadcasts and the corpus pass is ROW-LOCAL — no join,
+    * no shuffle at any corpus size. (At eval sets too big for an exact
+    * broadcast set, swap the Set for a Bloom filter behind the same
+    * contains seam; the threshold then needs a false-positive margin.) */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      nWords: Int = 8, threshold: Int = 3, evalSetSize: Int = 50,
+      spanWords: Int = 12): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+
+    def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+    def shingleSet(ws: Array[String]): Array[Long] = {
+      val whs = ws.map(w => Hash61.wordHash(w))
+      if (whs.length < nWords) Array.empty
+      else (0 to whs.length - nWords).map(i => Hash61.shingleN(whs, i, nWords))
+        .distinct.toArray
+    }
+
+    val evalDocs = docs.filter(_._1 < evalSetSize).collect().sortBy(_._1)
+    val evalSpans: Map[Long, String] =
+      evalDocs.map { case (id, t) => id -> words(t).take(spanWords).mkString(" ") }.toMap
+    val evalShingles: Set[Long] =
+      evalDocs.iterator.flatMap { case (_, t) => shingleSet(words(t)) }.toSet
+    val bcSpans = spark.sparkContext.broadcast(evalSpans)
+    val bcSet = spark.sparkContext.broadcast(evalShingles)
+
+    docs.map { case (id, text) =>
+      val payload =
+        if (id % 7 == 3) bcSpans.value(id % evalSetSize) + " " + text else text
+      val shared = shingleSet(words(payload)).count(bcSet.value.contains).toLong
+      (id, shared, if (shared >= threshold) 1L else 0L)
+    }.toDF("doc_id", "shared_ngrams", "contaminated")
+  }
+
   /** Per-domain quota sampling: keep at most `quota` documents per source,
     * chosen by a deterministic hash rank (Hash61.mix of doc_id) so the
     * sample is stable across runs, partitions, and retries — the standard

@@ -67,6 +67,25 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perSource.nonEmpty)
   }
 
+  test("decontamination: every planted span caught, flag consistent, both classes present") {
+    val s = spark
+    import s.implicits._
+    val rows = Quality.decontaminate(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (id, shared, flag) =>
+      assert(flag == (if (shared >= 3) 1L else 0L))
+      if (id >= 50 && id % 7 == 3)
+        assert(flag == 1L, s"planted contamination in doc $id not caught ($shared)")
+      // note: docs the generator gave NATURALLY shared spans also flag —
+      // correct behavior (at sf0.001 doc 50 shares a 15-gram run with
+      // eval doc 0); the exact per-doc counts are what the DuckDB oracle
+      // hash-checks
+    }
+    assert(rows.count(_._3 == 1L) > 0 && rows.count(_._3 == 0L) > 0)
+    // the pass is row-local: broadcast eval set, no join, no shuffle
+    assert(!finalPlan(Quality.decontaminate(spark, sfDir)).contains("Exchange"))
+  }
+
   test("vocab top-k: map-side partial count, top-k without global sort") {
     val plan = finalPlan(SparkEntry.queries("vocab_topk")(spark, sfDir))
     assert(plan.contains("partial_count"),
