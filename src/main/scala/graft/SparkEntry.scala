@@ -386,6 +386,16 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
     }),
+    "conv_stats" -> ((s, dir) => {
+      // conversation-level rollup over the transcript face: the skewed
+      // size distribution (conversation k holds 2k+1 documents) that
+      // motivates the extraction job's salted bucketing
+      TranscriptGen.turns(s, dir, turnsPerDoc = 2)
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("assistant_turns"),
+          sum(when(col("tool") =!= "", 1L).otherwise(0L)).as("tool_turns"))
+    }),
     "q_session_stats" -> ((s, dir) =>
       // per-session rows (µs-exact bounds) — the batch face of the
       // stateful streaming sessionizer; StreamingSpec pins streaming ==
@@ -944,6 +954,14 @@ object SparkEntry {
         "epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END AS new_session FROM (" +
         "SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts " +
         "FROM events) t1) t2 GROUP BY user_id"),
+    // conv_id = 'conv-' || lpad(floor(sqrt(doc_id))); turnsPerDoc=2 gives
+    // one assistant + one user turn per doc; tool = 'browser' on i%5==4,
+    // i.e. turn i=4 of each doc's pair-index — with 2 turns/doc only
+    // i ∈ {0,1}, so tool turns are 0 (the oracle states it closed-form).
+    "conv_stats" ->
+      ("SELECT 'conv-' || lpad(CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR), 5, '0') AS conv_id, " +
+        "COUNT(*) * 2 AS n_turns, COUNT(*) AS assistant_turns, " +
+        "CAST(0 AS BIGINT) AS tool_turns FROM documents GROUP BY 1"),
     "q_session_stats" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
         "l AS (SELECT user_id, event_id, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e), " +
