@@ -351,6 +351,7 @@ object SparkEntry {
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizeStub(s, dir).select("doc_id", "width", "height", "n_bytes")),
     "multimodal_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "multimodal_features" -> ((s, dir) => Multimodal.featureStub(s, dir)),
 
     "dedup_rewrite" -> ((s, dir) => {
       // the dedup APPLIED: keep one representative per content digest
@@ -893,6 +894,22 @@ object SparkEntry {
         "CAST((64 + (doc_id % 5) * 48) // 2 AS INTEGER) AS height, " +
         "CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes " +
         "FROM documents"),
+    // Per-channel body stats: bytes are the UTF-8 of the ASCII text, so
+    // channel c's bytes are the character codes at positions ≡ c (mod 3).
+    "multimodal_features" -> {
+      def chIdx(c: Int) = s"list_filter(range(1, len(bs) + 1), fi_ -> (fi_ - 1) % 3 = $c)"
+      def chSum(c: Int) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(${chIdx(c)}, gi_ -> bs[gi_])), (ga_, gb_) -> ga_ + gb_)"
+      def chMax(c: Int) =
+        s"coalesce(list_max(list_transform(${chIdx(c)}, hi_ -> bs[hi_])), 0)"
+      "WITH b AS (SELECT doc_id, list_transform(string_split(text, ''), mb_ -> unicode(mb_)::BIGINT) AS bs FROM documents), " +
+        s"r AS (SELECT doc_id, len(bs) AS n, ${chSum(0)} AS s0, ${chSum(1)} AS s1, ${chSum(2)} AS s2, " +
+        s"${chMax(0)} AS m0, ${chMax(1)} AS m1, ${chMax(2)} AS m2 FROM b) " +
+        "SELECT doc_id, CAST(s0 AS BIGINT) AS ch0_sum, CAST(s1 AS BIGINT) AS ch1_sum, " +
+        "CAST(s2 AS BIGINT) AS ch2_sum, CAST(m0 AS BIGINT) AS ch0_max, " +
+        "CAST(m1 AS BIGINT) AS ch1_max, CAST(m2 AS BIGINT) AS ch2_max, " +
+        "CAST(s0 + s1 + s2 AS DOUBLE) / n AS mean_byte FROM r"
+    },
     "multimodal_frame_sample" ->
       ("SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS pts_ms, " +
         "CAST(LEAST(256, blen - frame_idx * 256) AS BIGINT) AS frame_len " +

@@ -70,6 +70,36 @@ object Multimodal {
     (id, w, h, c, bytes.length - 16, checksum)
   }
 
+  /** STUB feature extractor: per-channel statistics over the interleaved
+    * 3-channel body (sum and max per channel, global mean byte) — the
+    * feature-extract stage of the multimodal family, with the same
+    * batched per-partition plumbing a real embedding/stat extractor
+    * needs. Integer-exact except the mean (one long/long division —
+    * reproduced identically by the oracle). */
+  def featureStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).select("doc_id", "media")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val sums = new Array[Long](3)
+          val maxs = new Array[Long](3)
+          var i = 16
+          while (i < bytes.length) {
+            val v = (bytes(i) & 0xff).toLong
+            val c = (i - 16) % 3
+            sums(c) += v
+            if (v > maxs(c)) maxs(c) = v
+            i += 1
+          }
+          val bodyLen = bytes.length - 16
+          val mean = (sums(0) + sums(1) + sums(2)).toDouble / bodyLen
+          (id, sums(0), sums(1), sums(2), maxs(0), maxs(1), maxs(2), mean)
+        }
+      }.toDF("doc_id", "ch0_sum", "ch1_sum", "ch2_sum",
+        "ch0_max", "ch1_max", "ch2_max", "mean_byte")
+  }
+
   /** STUB resize: halves both header dimensions and keeps every 4th body
     * byte (the deterministic stand-in for 2×2 pixel pooling). Binary in →
     * binary out, row-preserving — the exact plumbing a real resampler

@@ -76,4 +76,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("feature extraction: channel sums reconcile with the byte total") {
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.featureStub(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+    val bodies = Multimodal.mediaTable(spark, sfDir)
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> b.drop(16) }.toMap
+    assert(rows.length == bodies.size)
+    rows.foreach { case (id, s0, s1, s2, m0, m1, m2, mean) =>
+      val body = bodies(id)
+      assert(s0 + s1 + s2 == body.map(_ & 0xff).map(_.toLong).sum)
+      assert(mean == (s0 + s1 + s2).toDouble / body.length)
+      assert(Seq(m0, m1, m2).max == body.map(_ & 0xff).max.toLong)
+    }
+  }
 }
