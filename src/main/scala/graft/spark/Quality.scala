@@ -164,7 +164,12 @@ object Quality {
         .distinct.toArray
     }
 
-    val evalDocs = docs.filter(_._1 < evalSetSize).collect().sortBy(_._1)
+    // Column-predicate filter (not a typed lambda) so the eval fetch
+    // pushes down to the parquet scan instead of deserializing the corpus
+    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < evalSetSize)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
     val evalSpans: Map[Long, String] =
       evalDocs.map { case (id, t) => id -> words(t).take(spanWords).mkString(" ") }.toMap
     val evalShingles: Set[Long] =

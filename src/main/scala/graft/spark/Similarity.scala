@@ -92,19 +92,24 @@ object Similarity {
       centroids.indices.map(c => (distSq(c, v), c)).sorted.take(nprobe).map(_._2)
   }
 
-  private[spark] def trainQuantizer(emb: Dataset[(Long, Array[Float])],
-      numCentroids: Int, lloydIters: Int, sampleCap: Int): Quantizer = {
-    val sample = emb.orderBy("vec_id").limit(sampleCap).collect()
-    val dim = sample.head._2.length
+  /** The shared deterministic Lloyd kernel over the slice
+    * [off, off+width) of each sample vector: init = lowest-vec_id sample
+    * slices, strict `<` nearest (ties → low c), vec_id-order sums,
+    * empty clusters keep their centroid. IVF trains with (off=0,
+    * width=dim); PQ trains one call per subspace — ONE copy of every
+    * bit-exactness-critical rule both oracles replay. */
+  private def lloydSlice(sample: Array[(Long, Array[Float])], off: Int,
+      width: Int, numCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
     var centroids = Array.tabulate(numCentroids) { c =>
-      sample(c % sample.length)._2.map(_.toDouble)
+      val v = sample(c % sample.length)._2
+      Array.tabulate(width)(j => v(off + j).toDouble)
     }
     def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cs.length) {
         var d = 0.0; var j = 0
         val cv = cs(c)
-        while (j < dim) { val t = cv(j) - v(j); d += t * t; j += 1 }
+        while (j < width) { val t = cv(j) - v(off + j); d += t * t; j += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -112,21 +117,28 @@ object Similarity {
     }
     var iter = 0
     while (iter < lloydIters) {
-      val sums = Array.fill(numCentroids)(new Array[Double](dim))
+      val sums = Array.fill(numCentroids)(new Array[Double](width))
       val cnts = new Array[Long](numCentroids)
       sample.foreach { case (_, v) => // vec_id order ⇒ deterministic sums
         val c = nearest(centroids, v)
         cnts(c) += 1
         var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        while (j < width) { sums(c)(j) += v(off + j); j += 1 }
       }
       centroids = Array.tabulate(numCentroids) { c =>
         if (cnts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else { val s = sums(c); var j = 0; while (j < dim) { s(j) /= cnts(c); j += 1 }; s }
+        else { val s = sums(c); var j = 0; while (j < width) { s(j) /= cnts(c); j += 1 }; s }
       }
       iter += 1
     }
-    new Quantizer(centroids)
+    centroids
+  }
+
+  private[spark] def trainQuantizer(emb: Dataset[(Long, Array[Float])],
+      numCentroids: Int, lloydIters: Int, sampleCap: Int): Quantizer = {
+    val sample = emb.orderBy("vec_id").limit(sampleCap).collect()
+    val dim = sample.head._2.length
+    new Quantizer(lloydSlice(sample, 0, dim, numCentroids, lloydIters))
   }
 
   /** IVF (inverted-file) ANN: corpus → one cell each (typed kernel, one
@@ -219,42 +231,8 @@ object Similarity {
     val dim = sample.head._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val cents = Array.tabulate(m) { s =>
-      val off = s * sub
-      var cs = Array.tabulate(ksub) { c =>
-        val v = sample(c % sample.length)._2
-        Array.tabulate(sub)(j => v(off + j).toDouble)
-      }
-      def nearest(v: Array[Float]): Int = {
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < ksub) {
-          var d = 0.0; var j = 0
-          val cv = cs(c)
-          while (j < sub) { val t = cv(j) - v(off + j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-      var iter = 0
-      while (iter < lloydIters) {
-        val sums = Array.fill(ksub)(new Array[Double](sub))
-        val cnts = new Array[Long](ksub)
-        sample.foreach { case (_, v) => // vec_id order ⇒ deterministic sums
-          val c = nearest(v)
-          cnts(c) += 1
-          var j = 0
-          while (j < sub) { sums(c)(j) += v(off + j); j += 1 }
-        }
-        cs = Array.tabulate(ksub) { c =>
-          if (cnts(c) == 0) cs(c)
-          else { val a = sums(c); var j = 0; while (j < sub) { a(j) /= cnts(c); j += 1 }; a }
-        }
-        iter += 1
-      }
-      cs
-    }
-    new PqCodebook(cents)
+    new PqCodebook(Array.tabulate(m)(s =>
+      lloydSlice(sample, s * sub, sub, ksub, lloydIters)))
   }
 
   /** PQ/ADC ANN: the memory-bound scale path — the corpus scan touches

@@ -52,4 +52,22 @@ class Hash61Spec extends AnyFunSuite {
     assert(s1 !== Hash61.shingle3(c, b, a))
     assert(s1 !== Hash61.shingle3(b, a, c))
   }
+
+  test("shingleN is the documented fold, order-sensitive, BigInteger-exact") {
+    val rnd = new java.util.Random(7)
+    val whs = Array.fill(12)(math.abs(rnd.nextLong()) % M)
+    def ref(i: Int, n: Int): Long = {
+      var s = java.math.BigInteger.ZERO
+      val bM = java.math.BigInteger.valueOf(M)
+      val bR = java.math.BigInteger.valueOf(Hash61.R1)
+      (0 until n).foreach { k =>
+        s = s.multiply(bR).add(java.math.BigInteger.valueOf(whs(i + k))).mod(bM)
+      }
+      Hash61.mix(s.longValue())
+    }
+    for (i <- 0 to 4; n <- Seq(3, 8)) assert(Hash61.shingleN(whs, i, n) === ref(i, n))
+    // order sensitivity: swapping two window words must change the value
+    val swapped = whs.clone(); val t0 = swapped(0); swapped(0) = swapped(1); swapped(1) = t0
+    assert(Hash61.shingleN(whs, 0, 8) !== Hash61.shingleN(swapped, 0, 8))
+  }
 }

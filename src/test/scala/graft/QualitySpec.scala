@@ -70,8 +70,8 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("decontamination: every planted span caught, flag consistent, both classes present") {
     val s = spark
     import s.implicits._
-    val rows = Quality.decontaminate(spark, sfDir)
-      .as[(Long, Long, Long)].collect()
+    val df = Quality.decontaminate(spark, sfDir)
+    val rows = df.as[(Long, Long, Long)].collect()
     rows.foreach { case (id, shared, flag) =>
       assert(flag == (if (shared >= 3) 1L else 0L))
       if (id >= 50 && id % 7 == 3)
@@ -83,7 +83,7 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.count(_._3 == 1L) > 0 && rows.count(_._3 == 0L) > 0)
     // the pass is row-local: broadcast eval set, no join, no shuffle
-    assert(!finalPlan(Quality.decontaminate(spark, sfDir)).contains("Exchange"))
+    assert(!finalPlan(df).contains("Exchange"))
   }
 
   test("vocab top-k: map-side partial count, top-k without global sort") {
