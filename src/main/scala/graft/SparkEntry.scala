@@ -260,6 +260,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
 
     // ---- similarity search ----
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -454,6 +455,26 @@ object SparkEntry {
       "count(*) FILTER (WHERE chunk_len >= 25) AS k25 " +
       "FROM ch WHERE blk > 0 GROUP BY doc_id) "
 
+  /** MinHash signature/banding CTE chain (through the capped `bf`
+    * relation) — shared by the pair oracle and the cluster oracle. */
+  private def minhashCtes: String = {
+    import graft.spark.Hash61
+    wordHashCte +
+      ", sh AS (SELECT doc_id, list_transform(range(1, len(whs) - 1), " +
+      s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")}) AS shs " +
+      "FROM wdocs WHERE len(whs) >= 3), " +
+      "sg AS (SELECT doc_id, list_transform(range(0, 16), s -> " +
+      s"list_reduce(list_transform(shs, q -> ${Hash61.mixSql(s"xor(q, ${Hash61.mixSql("s + 1")})")}), " +
+      "(x, y) -> least(x, y))) AS sig FROM sh WHERE len(shs) > 0), " +
+      "bn AS (SELECT doc_id, sig, b AS band_idx, " +
+      "list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 4), r -> sig[b * 4 + r + 1])), " +
+      s"(x, y) -> ${Hash61.mixSql("xor(x, y)")}) AS band_hash " +
+      "FROM sg, unnest([0, 1, 2, 3]) AS t(b)), " +
+      "sz AS (SELECT band_idx, band_hash, count(*) AS bsz FROM bn GROUP BY 1, 2), " +
+      "bf AS (SELECT bn.doc_id, bn.sig, bn.band_idx, bn.band_hash FROM bn " +
+      "JOIN sz USING (band_idx, band_hash) WHERE bsz <= 64) "
+  }
+
   /** Per-doc word-hash lists in GF(2^61-1) — the shared head of every
     * signature-kernel oracle (minhash/simhash/jaccard), replaying
     * [[graft.spark.Hash61.wordHash]] exactly in HUGEINT. */
@@ -526,24 +547,26 @@ object SparkEntry {
     // hashes, 4 banded fold-hashes, cap, equi-join, matching-position
     // count per surviving pair.
     "dedup_minhash_lsh" ->
-      (wordHashCte +
-        ", sh AS (SELECT doc_id, list_transform(range(1, len(whs) - 1), " +
-        s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")}) AS shs " +
-        "FROM wdocs WHERE len(whs) >= 3), " +
-        "sg AS (SELECT doc_id, list_transform(range(0, 16), s -> " +
-        s"list_reduce(list_transform(shs, q -> ${Hash61.mixSql(s"xor(q, ${Hash61.mixSql("s + 1")})")}), " +
-        "(x, y) -> least(x, y))) AS sig FROM sh WHERE len(shs) > 0), " +
-        "bn AS (SELECT doc_id, sig, b AS band_idx, " +
-        "list_reduce(list_prepend(0::HUGEINT, list_transform(range(0, 4), r -> sig[b * 4 + r + 1])), " +
-        s"(x, y) -> ${Hash61.mixSql("xor(x, y)")}) AS band_hash " +
-        "FROM sg, unnest([0, 1, 2, 3]) AS t(b)), " +
-        "sz AS (SELECT band_idx, band_hash, count(*) AS bsz FROM bn GROUP BY 1, 2), " +
-        "bf AS (SELECT bn.doc_id, bn.sig, bn.band_idx, bn.band_hash FROM bn " +
-        "JOIN sz USING (band_idx, band_hash) WHERE bsz <= 64) " +
+      (minhashCtes +
         "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
         "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
         "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
         "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id"),
+    // Connected components of the same pair graph: recursive transitive
+    // closure, cluster = min reachable id (the unique fixpoint the
+    // iterative Spark propagation also lands on).
+    "dedup_clusters" ->
+      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b " +
+        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
+        "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id), " +
+        "eg AS (SELECT doc_a AS src, doc_b AS dst FROM prs " +
+        "UNION ALL SELECT doc_b, doc_a FROM prs), " +
+        "rc AS (SELECT src AS id, dst AS r FROM eg " +
+        "UNION SELECT rc.id, eg.dst FROM rc JOIN eg ON eg.src = rc.r), " +
+        "cl AS (SELECT id, least(id, min(r)) AS cluster FROM rc GROUP BY id) " +
+        "SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS cluster_id " +
+        "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"),
     // Exact n-gram Jaccard via the same inverted-index plan: distinct
     // 3-shingles, document-frequency cap, pair-shared counts, Jaccard.
     "dedup_ngram_jaccard" ->

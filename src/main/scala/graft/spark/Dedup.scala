@@ -117,6 +117,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup clustering: connected components over the MinHash-LSH pair
+    * graph via iterative min-label propagation — the standard distributed
+    * CC loop where every round is a join + aggregate and the driver only
+    * checks a converged count (the work itself never leaves the cluster).
+    * Every document's cluster_id is the smallest doc_id reachable through
+    * dup pairs (unpaired docs are their own cluster). Deterministic: the
+    * min-label fixpoint is unique regardless of execution order, so the
+    * DuckDB oracle's recursive transitive closure lands on the same ids.
+    * Lineage is truncated each round (localCheckpoint — swap for a
+    * reliable checkpoint dir on a real cluster) so the loop's plan stays
+    * flat; rounds needed = component diameter, tiny for dup cliques. */
+  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 64): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id")).withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.withColumnRenamed("label", "old").as("o"), "id")
+        .where(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 60-bit SimHash near-dup detection over the field-valued word hashes:
     * per-word ±1 votes per bit; candidates share a 15-bit band (4 bands);
     * near-dups have Hamming ≤ 6. */
