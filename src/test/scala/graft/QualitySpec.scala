@@ -39,6 +39,32 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("signal kernel matches a naive reference on adversarial whitespace") {
+    val rnd = new java.util.Random(11) // deterministic sweep
+    val vocab = Seq("the", "a", "word", "batch", "scan", "xy", "zq", "lengthyword")
+    (1 to 300).foreach { _ =>
+      val n = rnd.nextInt(12)
+      val text = (0 until n).map { _ =>
+        vocab(rnd.nextInt(vocab.length)) +
+          (if (rnd.nextInt(4) == 0) "  " else " ") // double spaces included
+      }.mkString + (if (rnd.nextBoolean()) " " else "")
+      val got = Quality.computeSignals(7L, text)
+      // naive reference: plain collections, same word model
+      val ws = text.split(" ").filter(_.nonEmpty).toSeq
+      val ne = math.max(ws.length, 1)
+      def mm(g: Seq[String]) = if (g.isEmpty) 0 else g.groupBy(identity).values.map(_.size).max
+      assert(got.n_words == ws.length)
+      assert(got.n_distinct == ws.distinct.length)
+      assert(got.top_word_frac == mm(ws).toDouble / ne)
+      assert(got.dup_bigram_frac ==
+        (if (ws.length > 1) mm(ws.sliding(2).map(_.mkString(" ")).toSeq).toDouble / (ws.length - 1) else 0.0))
+      assert(got.dup_trigram_frac ==
+        (if (ws.length > 2) mm(ws.sliding(3).map(_.mkString(" ")).toSeq).toDouble / (ws.length - 2) else 0.0))
+      assert(got.mean_word_len == ws.map(_.length).sum.toDouble / ne)
+      assert(got.stopword_count == ws.count(Quality.StopEn.contains))
+    }
+  }
+
   test("pii scrub: every class hit, redaction complete") {
     val rows = Quality.piiScrub(spark, sfDir).collect()
     rows.foreach { r =>
