@@ -162,4 +162,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucket computation must stay in the typed kernel\n" + plan)
     assert(plan.contains("dot_f64"), "re-rank must use the codegen'd dot product\n" + plan)
   }
+
+  test("session stats: window and aggregate share one user_id exchange") {
+    val plan = finalPlan(SparkEntry.queries("q_session_stats")(spark, sfDir))
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"groupBy(user_id, session_idx) must reuse the window's hashpartitioning(user_id), got $exchanges exchanges\n" + plan)
+  }
 }
