@@ -521,8 +521,11 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per oracle-checkable query. Column names match
     * the Spark side exactly (driver hashes after sorting columns by
-    * name). */
-  def oracleSql: Map[String, String] = {
+    * name). A lazy val, not a def: Hash61.letSql draws fresh lambda-var
+    * names from a global counter, so regenerating on every call would
+    * make two reads of this map textually different (same semantics, but
+    * not comparable — VerifyContractSpec relies on stability). */
+  lazy val oracleSql: Map[String, String] = {
     import graft.spark.Hash61
     Map(
     // 60-bit SimHash end-to-end: per-bit majority votes over the word
