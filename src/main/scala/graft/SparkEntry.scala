@@ -296,8 +296,8 @@ object SparkEntry {
     "curate_pipeline" -> ((s, dir) => {
       // end-to-end curation: extraction → quality gate → per-domain
       // quota, with extraction and the signal kernel FUSED into one
-      // row-local map — nothing shuffles until the final per-source
-      // window, the pipeline's only exchange at any corpus size
+      // row-local map — nothing shuffles until the two-phase (skew-safe)
+      // quota windows, the pipeline's only exchanges at any corpus size
       import s.implicits._
       val rows = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text", "n_chars", "source")
@@ -311,11 +311,7 @@ object SparkEntry {
           val sig = Quality.computeSignals(id, et)
           (id, src, Hash61.mix(id), sig.n_words, sig.keep)
         }.toDF("doc_id", "source", "rank_key", "n_words", "keep")
-      rows.where(col("keep") === 1)
-        .withColumn("sample_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("source")
-            .orderBy(col("rank_key"), col("doc_id"))).cast("long"))
-        .where(col("sample_rank") <= 5)
+      Quality.quotaPerDomain(rows.where(col("keep") === 1), quota = 5)
         .select("doc_id", "source", "sample_rank", "n_words")
     }),
     "vocab_topk" -> ((s, dir) => {

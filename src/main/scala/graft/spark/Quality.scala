@@ -185,22 +185,39 @@ object Quality {
     }.toDF("doc_id", "shared_ngrams", "contaminated")
   }
 
+  /** Two-phase per-source quota: a salted partial top-`quota` first, so a
+    * mega-domain (the dominant skew at web scale — one source holding a
+    * large corpus fraction) splits across `preSalt` partitions instead of
+    * melting one; the final window then ranks at most preSalt·quota rows
+    * per source. Result-identical to the single window (every global
+    * top-quota row is in its salt's top-quota), which is why the DuckDB
+    * oracles stay a plain one-window replay. Input needs (doc_id, source,
+    * rank_key). */
+  def quotaPerDomain(ranked: DataFrame, quota: Int,
+      preSalt: Int = 16): DataFrame = {
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(preSalt)))
+      .orderBy(col("rank_key"), col("doc_id"))
+    val partial = ranked.withColumn("rn1", row_number().over(w1))
+      .where(col("rn1") <= quota)
+    partial
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("rank_key"), col("doc_id")))
+        .cast("long"))
+      .where(col("sample_rank") <= quota)
+      .drop("rn1", "rank_key")
+  }
+
   /** Per-domain quota sampling: keep at most `quota` documents per source,
     * chosen by a deterministic hash rank (Hash61.mix of doc_id) so the
     * sample is stable across runs, partitions, and retries — the standard
-    * way to cap dominant domains in a web-scale corpus. One shuffle
-    * (hash-partition by source); the window never materializes more than
-    * a partition. */
+    * way to cap dominant domains in a web-scale corpus. Skew-safe via the
+    * two-phase [[quotaPerDomain]]. */
   def samplePerDomain(spark: SparkSession, sfDir: String, quota: Int = 20): DataFrame = {
     import spark.implicits._
     val ranked = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "source").as[(Long, String)]
       .map { case (id, src) => (id, src, Hash61.mix(id)) }
       .toDF("doc_id", "source", "rank_key")
-    ranked
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("source").orderBy(col("rank_key"), col("doc_id"))))
-      .where(col("rn") <= quota)
-      .select(col("doc_id"), col("source"), col("rn").cast("long").as("sample_rank"))
+    quotaPerDomain(ranked, quota).select("doc_id", "source", "sample_rank")
   }
 }

@@ -120,20 +120,21 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "LIMIT 50 must be top-k, not a global sort\n" + plan)
   }
 
-  test("curate pipeline: extraction+signals fused row-local, one exchange total") {
+  test("curate pipeline: extraction+signals fused row-local, only the quota windows shuffle") {
     val plan = finalPlan(SparkEntry.queries("curate_pipeline")(spark, sfDir))
-    assert("Exchange ".r.findAllIn(plan).size == 1,
-      "extract → quality → quota must shuffle only for the per-source window\n" + plan)
+    assert("Exchange ".r.findAllIn(plan).size == 2,
+      "extract → quality → quota must shuffle only for the two-phase quota\n" + plan)
   }
 
-  test("plans: row-local ops never shuffle; the sample shuffles exactly once") {
+  test("plans: row-local ops never shuffle; the sample's two quota windows do") {
     assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
       "quality signals are row-local")
     val pii = finalPlan(Quality.piiScrub(spark, sfDir))
     assert(!pii.contains("Exchange"), "pii scrub is row-local")
     val sample = finalPlan(Quality.samplePerDomain(spark, sfDir))
-    assert("Exchange ".r.findAllIn(sample).size == 1,
-      "per-domain sample needs exactly the source hash-partition\n" + sample)
+    assert("Exchange ".r.findAllIn(sample).size == 2,
+      "per-domain sample = salted partial window + bounded final window\n" + sample)
     assert(sample.contains("hashpartitioning(source"), sample)
+    assert(sample.contains("pmod"), "skew salt missing from phase-1 key\n" + sample)
   }
 }
