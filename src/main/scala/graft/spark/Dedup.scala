@@ -70,6 +70,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     import spark.implicits._
+    VectorFunctions.register(spark)
     val rowsPerBand = numHashes / bands
     // kernel: per doc, signature and band hashes in one pass
     val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -112,8 +113,10 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("long").as("matching"))
+        // codegen'd positional match count (SigMatchCount) — the HOF
+        // version of this (aggregate over zip_with) is interpreted and
+        // was round 2's one remaining hot-path anti-pattern
+        call_function("sig_match_count", col("sig_a"), col("sig_b")).as("matching"))
       .distinct()
   }
 

@@ -85,20 +85,96 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `sig_match_count(a, b)` — number of positions where two long-array
+  * signatures agree, as a native codegen'd expression. Replaces the
+  * interpreted `aggregate(zip_with(sig_a, sig_b, ...))` HOF that round 2
+  * left on the MinHash candidate-pair stream ([[Dedup.minhashLsh]]): the
+  * HOF evaluator allocates a lambda frame per element and never enters
+  * whole-stage codegen, so on a near-dup-rich 100 TB corpus the
+  * post-band-join pair stream would pay ~100×/element (BENCH.md item 1).
+  * Null elements never match; lengths may differ (shorter wins), though
+  * minhash signatures are fixed-length.
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "sig_match_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> inputs, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i) && !ys.isNullAt(i) && xs.getLong(i) == ys.getLong(i)) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $cnt = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && $a.getLong($i) == $b.getLong($i)) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
-  private val info = new ExpressionInfo(
+  private val dotInfo = new ExpressionInfo(
     classOf[DotF64].getName, null, "dot_f64",
     "_FUNC_(a, b) - sequential double dot product of two float/double arrays",
     "")
 
-  private val builder: Seq[Expression] => Expression = {
+  private val dotBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotF64(a, b)
     case other => throw new IllegalArgumentException(
       s"dot_f64 expects 2 arguments, got ${other.length}")
   }
 
+  private val matchInfo = new ExpressionInfo(
+    classOf[SigMatchCount].getName, null, "sig_match_count",
+    "_FUNC_(a, b) - number of positions where two bigint arrays agree",
+    "")
+
+  private val matchBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SigMatchCount(a, b)
+    case other => throw new IllegalArgumentException(
+      s"sig_match_count expects 2 arguments, got ${other.length}")
+  }
+
   /** Idempotent registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_f64"), info, builder)
+      FunctionIdentifier("dot_f64"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sig_match_count"), matchInfo, matchBuilder)
+  }
 }

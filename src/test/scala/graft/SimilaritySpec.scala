@@ -73,6 +73,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(500))
   }
 
+  test("sig_match_count: codegen path == interpreted path == HOF formulation") {
+    graft.spark.VectorFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { _ =>
+      val a = Array.fill(16)(rnd.nextInt(4).toLong)
+      val b = Array.fill(16)(rnd.nextInt(4).toLong)
+      (a, b)
+    }
+    val df = s.createDataset(rows).toDF("a", "b")
+    val hof = df.selectExpr(
+      "cast(aggregate(zip_with(a, b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as bigint) AS m")
+      .as[Long].collect()
+    val native = df.selectExpr("sig_match_count(a, b) AS m").as[Long].collect()
+    val interpreted = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try df.selectExpr("sig_match_count(a, b) AS m").as[Long].collect()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(native.toSeq == hof.toSeq, "codegen vs HOF")
+    assert(native.toSeq == interpreted.toSeq, "codegen vs interpreted eval")
+    // edge cases: null element never matches, null array → null, shorter wins
+    val edge = spark.sql(
+      "SELECT sig_match_count(array(1L, NULL, 3L), array(1L, NULL, 3L)) AS a, " +
+        "sig_match_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS b, " +
+        "sig_match_count(array(1L, 2L), array(1L, 2L, 3L)) AS c").collect().head
+    assert(edge.getLong(0) == 2L)
+    assert(edge.isNullAt(1))
+    assert(edge.getLong(2) == 2L)
+  }
+
   test("IVF top-k is deterministic and recalls most of exact top-k") {
     val exact = topkSet(Similarity.bruteForceTopK(spark, sfDir))
     val ivf1 = topkSet(Similarity.ivfTopK(spark, sfDir))
