@@ -121,40 +121,80 @@ object Dedup {
   }
 
   /** Near-dup clustering: connected components over the MinHash-LSH pair
-    * graph via iterative min-label propagation — the standard distributed
-    * CC loop where every round is a join + aggregate and the driver only
-    * checks a converged count (the work itself never leaves the cluster).
-    * Every document's cluster_id is the smallest doc_id reachable through
-    * dup pairs (unpaired docs are their own cluster). Deterministic: the
-    * min-label fixpoint is unique regardless of execution order, so the
-    * DuckDB oracle's recursive transitive closure lands on the same ids.
-    * Lineage is truncated each round (localCheckpoint — swap for a
-    * reliable checkpoint dir on a real cluster) so the loop's plan stays
-    * flat; rounds needed = component diameter, tiny for dup cliques. */
-  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 64): DataFrame = {
+    * graph. Every document's cluster_id is the smallest doc_id reachable
+    * through dup pairs (unpaired docs are their own cluster).
+    * Deterministic: the min-label fixpoint is unique regardless of
+    * execution order, so the DuckDB oracle's recursive transitive closure
+    * lands on the same ids. The loop itself is [[ccLabels]] — see there
+    * for the round bound and checkpoint story. */
+  def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"))
+    ccLabels(spark, ids, pairs, maxIters, checkpointDir)._1
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Distributed connected components via Shiloach–Vishkin-style
+    * hooking + pointer doubling: each round first takes the min over
+    * direct neighbors' labels (hooking — a join + map-side-combined
+    * `min` aggregate), then shortcuts `label ← label(label)` (pointer
+    * doubling — a self-join on the label table). The reach of a label
+    * at least doubles per round, so convergence is O(log diameter)
+    * joins, not O(diameter) — a 1000-node chain converges in ~10 rounds
+    * (pinned in DedupSpec) where plain min-propagation needs 1000. The
+    * driver only ever sees a converged flag; labels never leave the
+    * cluster.
+    *
+    * Lineage is truncated every round so the plan stays flat across
+    * iterations. With `checkpointDir` set, rounds checkpoint RELIABLY
+    * (HDFS/object-store dir) — an executor loss mid-job recomputes from
+    * the last checkpoint instead of killing a 100 TB clustering run;
+    * the `localCheckpoint` fallback (executor block store) is for
+    * local/test runs only.
+    *
+    * Invariants that make the doubling join total: labels start as
+    * `id`, min-hooking only ever lowers them, and every label value is
+    * itself an id — so `label(label)` always resolves (inner join is
+    * safe). Returns (labels, roundsRun); aborts loudly rather than
+    * returning a silently non-converged labeling. */
+  def ccLabels(spark: SparkSession, ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 64, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val edges = pairs.toDF("a", "b")
+    val undirected = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst").persist()
-    var labels = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").as("id")).withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = snapshot(ids.select(col("id")).withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+      // hooking: candidate = min(own label, neighbors' labels)
+      val nbrMin = undirected.join(labels, undirected("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // shortcutting: label ← label(label) (pointer doubling)
+      val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = snapshot(
+        hooked.join(l, hooked("label") === l("lid"))
+          .select(hooked("id"), col("llabel").as("label")))
       converged = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .where(col("label") =!= col("old")).limit(1).count() == 0
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    undirected.unpersist()
+    require(converged,
+      s"connected components did not converge within $maxIters rounds — " +
+        "labels would silently disagree with the transitive-closure oracle")
+    (labels, iter)
   }
 
   /** 60-bit SimHash near-dup detection over the field-valued word hashes:
