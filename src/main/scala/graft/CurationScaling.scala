@@ -1,6 +1,6 @@
 package graft
 
-import graft.spark.{Dedup, Hash61, Quality}
+import graft.spark.{Dedup, Hash61, Quality, TableIO}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,7 @@ object CurationScaling {
     // scan task): the 100× explode and everything after it must run at
     // full parallelism, not inside a single scan task — same input
     // artifact TranscriptGen.turns documents
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .withColumn("r", explode(sequence(lit(0), lit(mult - 1))))
@@ -62,7 +62,7 @@ object CurationScaling {
 
     def rowLocalFace(spark: SparkSession): Long = {
       import spark.implicits._
-      spark.read.parquet(s"$staged/documents.parquet")
+      TableIO(spark, staged).read("documents")
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val sig = Quality.computeSignals(id, text)

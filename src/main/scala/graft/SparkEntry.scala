@@ -120,7 +120,7 @@ object SparkEntry {
       // tail sentence (→ one deleted block), %3==2 benchmark misses the
       // last word (→ one inserted block).
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .select("doc_id", "text", "n_chars")
         .where(col("n_chars") >= MinChars).as[(Long, String, Long)]
         .map { case (docId, text, _) =>
@@ -145,7 +145,7 @@ object SparkEntry {
       // below-threshold sibling) — produces the multi-block span face the
       // plain wrap cannot (TranscriptGen.siblingHtml scaladoc).
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      TableIO(s, dir).read("documents").select("doc_id").as[Long]
         .flatMap { id =>
           val r = Extractor.extract(TranscriptGen.siblingHtml(id), ExtractOptions())
           r.spans.toSeq.zipWithIndex.map { case ((st, en), i) =>
@@ -159,7 +159,7 @@ object SparkEntry {
       // survive, every `vanish` marker must be cleaned (TranscriptGen
       // .sanitizeHtml scaladoc walks the table).
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      TableIO(s, dir).read("documents").select("doc_id").as[Long]
         .map { id =>
           (id, Extractor.extract(TranscriptGen.sanitizeHtml(id), ExtractOptions()).text)
         }.toDF("doc_id", "extracted_text")
@@ -171,7 +171,7 @@ object SparkEntry {
       // decoy, skipping the retry returns the teaser; both fail the
       // oracle.
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id").as[Long]
+      TableIO(s, dir).read("documents").select("doc_id").as[Long]
         .map { id =>
           val sum = Extractor.extract(TranscriptGen.retryHtml(id), ExtractOptions())
           (id, sum.confidence, sum.text)
@@ -203,7 +203,7 @@ object SparkEntry {
     "charset_detect" -> ((s, dir) => {
       import s.implicits._
       // four deterministic payload classes exercise every detector branch
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .select("doc_id", "text").as[(Long, String)]
         .map { case (id, text) =>
           val bytes = (id % 4) match {
@@ -232,7 +232,7 @@ object SparkEntry {
     // ---- multi-page URL logic (F10-F11, W4) ----
     "base_url" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .select("doc_id", "source").as[(Long, String)]
         .map { case (id, src) =>
           val url = s"http://example.com/$src/article-$id.html"
@@ -242,7 +242,7 @@ object SparkEntry {
     "next_page_url" -> ((s, dir) => {
       import s.implicits._
       // synthetic pagination footer: the scorer must pick page 2
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .select("doc_id", "source").as[(Long, String)]
         .map { case (id, src) =>
           val url = s"http://example.com/$src/article-$id.html"
@@ -276,7 +276,7 @@ object SparkEntry {
       // probed candidate set to recover every >=0.95 pair exactly. The
       // noise-like remainder (max cosine 0.49) filters out on both sides.
       import s.implicits._
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = TableIO(s, dir).read("embeddings")
         .select("vec_id", "embedding").as[(Long, Array[Float])]
       val plants = emb.filter(_._1 < 500).map { case (id, v) =>
         (id + 100000L,
@@ -299,7 +299,7 @@ object SparkEntry {
       // row-local map — nothing shuffles until the two-phase (skew-safe)
       // quota windows, the pipeline's only exchanges at any corpus size
       import s.implicits._
-      val rows = s.read.parquet(s"$dir/documents.parquet")
+      val rows = TableIO(s, dir).read("documents")
         .select("doc_id", "text", "n_chars", "source")
         .where(col("n_chars") >= MinChars)
         .as[(Long, String, Long, String)]
@@ -319,7 +319,7 @@ object SparkEntry {
       // row-multiplying step and collapses immediately into a map-side
       // partial count; the LIMIT is a TakeOrdered top-k, never a global
       // sort (PlanSpec-style contract asserted in QualitySpec)
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .where(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -328,7 +328,7 @@ object SparkEntry {
     "corpus_stats_by_domain" -> ((s, dir) => {
       // per-source curation dashboard row: volume, size, exact distinct
       // content count (the dedup rate's denominator)
-      s.read.parquet(s"$dir/documents.parquet")
+      TableIO(s, dir).read("documents")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"),
@@ -352,7 +352,7 @@ object SparkEntry {
 
     "dedup_rewrite" -> ((s, dir) => {
       // the dedup APPLIED: keep one representative per content digest
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = TableIO(s, dir).read("documents")
       val keepers = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
       docs.join(keepers, "doc_id").select(col("doc_id"), col("n_chars"))
@@ -364,8 +364,8 @@ object SparkEntry {
       // customers with no high-value order: the filter prunes the build
       // side BEFORE the anti-join (pushdown-visible in explain; at sf0.01
       // an unfiltered variant returns 0 rows — a vacuous check)
-      val customer = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = TableIO(s, dir).read("customer")
+      val orders = TableIO(s, dir).read("orders")
         .where(col("o_totalprice") > 400000)
       customer.join(orders, customer("c_custkey") === orders("o_custkey"),
           "left_anti")
@@ -375,7 +375,7 @@ object SparkEntry {
       // lag-window sessionization: a new session starts after a >1h gap
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      s.read.parquet(s"$dir/events.parquet")
+      TableIO(s, dir).read("events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
@@ -400,14 +400,14 @@ object SparkEntry {
       // batch, this oracle pins batch == DuckDB
       StreamingSessionize.sessionStats(s, dir)),
     "q_lineitem_agg" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      TableIO(s, dir).read("lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
           count(lit(1)).as("cnt"))
     }),
     "q_join_topcustomers" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = TableIO(s, dir).read("orders")
+      val customer = TableIO(s, dir).read("customer")
       orders.join(broadcast(customer),
           orders("o_custkey") === customer("c_custkey"))
         .groupBy("c_custkey")
@@ -418,7 +418,7 @@ object SparkEntry {
     "q_window_first_event" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      s.read.parquet(s"$dir/events.parquet")
+      TableIO(s, dir).read("events")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("user_id", "event_type")

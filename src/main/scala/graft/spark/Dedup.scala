@@ -25,7 +25,7 @@ object Dedup {
 
   /** Exact duplicate groups: hash-groupBy on content digest. */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
   }
@@ -73,7 +73,7 @@ object Dedup {
     VectorFunctions.register(spark)
     val rowsPerBand = numHashes / bands
     // kernel: per doc, signature and band hashes in one pass
-    val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded0 = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = shingleHashes(text)
@@ -130,7 +130,7 @@ object Dedup {
   def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ids = TableIO(spark, sfDir).read("documents")
       .select(col("doc_id").as("id"))
     ccLabels(spark, ids, pairs, maxIters, checkpointDir)._1
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -202,7 +202,7 @@ object Dedup {
     * near-dups have Hamming ≤ 6. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val banded0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val banded0 = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val wh = wordHashes(text)
@@ -275,7 +275,7 @@ object Dedup {
       lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
     embeddingNearDupOn(spark,
-      spark.read.parquet(s"$sfDir/embeddings.parquet")
+      TableIO(spark, sfDir).read("embeddings")
         .select("vec_id", "embedding").as[(Long, Array[Float])],
       threshold, numCentroids, nprobe, lloydIters, sampleCap)
   }
@@ -329,7 +329,7 @@ object Dedup {
     * This is the formulation that survives 100 TB. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
-    val docGrams = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docGrams = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, shingleHashes(text).distinct) }
       .toDF("doc_id", "grams")

@@ -165,24 +165,23 @@ object ExtractJob {
   /** Resumable extraction: processes only buckets not yet recorded in the
     * ledger for this input fingerprint, appends bucket-partitioned output,
     * then appends ledger + lineage rows. Restart-safe: a crashed run
-    * re-processes only unledgered buckets (output is overwritten per
-    * bucket directory, so partial bucket output is replaced, giving
-    * exactly-once per bucket). */
+    * re-processes only unledgered buckets (bucket partitions are
+    * dynamically overwritten, so partial bucket output is replaced,
+    * giving exactly-once per bucket). All sink I/O goes through the
+    * [[TableIO]] seam — parquet dirs locally, a lakehouse catalog on a
+    * cluster. */
   def runResumable(spark: SparkSession, turns: Dataset[Turn], numBuckets: Int,
-      fingerprint: String, outDir: String, ledgerDir: String): Seq[LineageRow] = {
+      fingerprint: String, io: TableIO,
+      outTable: String, ledgerTable: String): Seq[LineageRow] = {
     import spark.implicits._
     // done-buckets as a broadcast LEFT ANTI join against the ledger — no
     // driver collect and no isin literal list (which at production bucket
     // counts, 2^15+, becomes a giant expression tree; VERDICT.md "What's
     // wrong" #3)
-    val ledgerExists = {
-      val p = new org.apache.hadoop.fs.Path(ledgerDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
     val remaining =
-      if (!ledgerExists) turns
+      if (!io.exists(ledgerTable)) turns
       else {
-        val done = spark.read.parquet(ledgerDir)
+        val done = io.read(ledgerTable)
           .where(col("input_fingerprint") === fingerprint)
           .select("bucket").distinct()
         turns.withColumn("bucket", bucketCol(numBuckets))
@@ -191,18 +190,16 @@ object ExtractJob {
       }
 
     val res = run(spark, remaining, numBuckets, fingerprint)
-    res.extracted
-      .withColumn("bucket", bucketCol(numBuckets))
-      .write
-      // dynamic partition overwrite: only the buckets written by THIS run
-      // are replaced, so a bucket half-written by a crashed attempt is
-      // cleanly overwritten when its turn comes again (exactly-once per
-      // bucket), while ledgered buckets' output is untouched
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
+    // dynamic partition overwrite: only the buckets written by THIS run
+    // are replaced, so a bucket half-written by a crashed attempt is
+    // cleanly overwritten when its turn comes again (exactly-once per
+    // bucket), while ledgered buckets' output is untouched
+    io.writePartitioned(
+      res.extracted.withColumn("bucket", bucketCol(numBuckets)).toDF(),
+      outTable, "bucket")
     val lineage = res.lineageRows
-    spark.createDataset(lineage)
-      .write.mode(SaveMode.Append).parquet(ledgerDir)
+    io.write(spark.createDataset(lineage).toDF(), ledgerTable, SaveMode.Append)
     lineage
   }
+
 }

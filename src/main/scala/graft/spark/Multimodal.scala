@@ -21,7 +21,7 @@ object Multimodal {
     * Deterministic stand-in for real image bytes. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val w = 64 + (id % 8).toInt * 32

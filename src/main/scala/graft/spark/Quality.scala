@@ -79,7 +79,7 @@ object Quality {
   /** Per-document quality signals over the corpus (row-local map). */
   def signals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => computeSignals(id, text) }
       .toDF()
@@ -112,7 +112,7 @@ object Quality {
     * map over any corpus size. */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, piiPayload(id, text)) }
       .toDF("doc_id", "payload")
@@ -153,7 +153,7 @@ object Quality {
       nWords: Int = 8, threshold: Int = 3, evalSetSize: Int = 50,
       spanWords: Int = 12): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
 
     def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
@@ -166,7 +166,7 @@ object Quality {
 
     // Column-predicate filter (not a typed lambda) so the eval fetch
     // pushes down to the parquet scan instead of deserializing the corpus
-    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val evalDocs = TableIO(spark, sfDir).read("documents")
       .where(col("doc_id") < evalSetSize)
       .select("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
@@ -214,7 +214,7 @@ object Quality {
     * two-phase [[quotaPerDomain]]. */
   def samplePerDomain(spark: SparkSession, sfDir: String, quota: Int = 20): DataFrame = {
     import spark.implicits._
-    val ranked = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ranked = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "source").as[(Long, String)]
       .map { case (id, src) => (id, src, Hash61.mix(id)) }
       .toDF("doc_id", "source", "rank_key")

@@ -41,7 +41,7 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, numQueries: Int = 20): DataFrame = {
     VectorFunctions.register(spark)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = TableIO(spark, sfDir).read("embeddings")
     val corpus = normed(emb, "corpus_id")
     val queries = normed(emb.orderBy("vec_id").limit(numQueries), "query_id")
       .withColumnRenamed("embedding", "q_embedding")
@@ -151,7 +151,7 @@ object Similarity {
       sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = TableIO(spark, sfDir).read("embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
 
     val q = trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
@@ -247,7 +247,7 @@ object Similarity {
       numQueries: Int = 20, lloydIters: Int = 5,
       sampleCap: Int = 4096): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = TableIO(spark, sfDir).read("embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
     pqTopKOn(spark, emb, emb.orderBy("vec_id").limit(numQueries),
       m, ksub, shortlist, k, lloydIters, sampleCap)
@@ -351,7 +351,7 @@ object Similarity {
       numBands: Int = 4, planesPerBand: Int = 8,
       k: Int = 5, numQueries: Int = 20): DataFrame = {
     import spark.implicits._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = TableIO(spark, sfDir).read("embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])]
     lshTopKOn(spark, emb, emb.orderBy("vec_id").limit(numQueries),
       numBands, planesPerBand, k)

@@ -91,7 +91,7 @@ object StreamingSessionize {
     * state for exact sessionization). DuckDB-oracled (`q_session_stats`). */
   def sessionStats(spark: SparkSession, sfDir: String, gapUs: Long = GapUs): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    spark.read.parquet(s"$sfDir/events.parquet")
+    TableIO(spark, sfDir).read("events")
       // the parquet ts is TIMESTAMP_NTZ; the cast is identity on the
       // epoch in this UTC environment (matches DuckDB's epoch_us)
       .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))

@@ -13,7 +13,7 @@ object TextAnalysis {
   /** Integer-exact quality metrics; every column reproducible in ANSI SQL
     * (the DuckDB oracle in SparkEntry mirrors it 1:1). */
   def metrics(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select(
         col("doc_id"),
         expr("size(split(trim(text), ' +'))").cast("long").as("n_words"),
@@ -56,7 +56,7 @@ object TextAnalysis {
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
     docs.map { case (id, text) =>
       val (lang, ratio) = predict(text)
@@ -72,7 +72,7 @@ object TextAnalysis {
     import spark.implicits._
     val langs = Vector("en", "es", "fr", "de", "zh")
     val sw = stopwords
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id").as[Long]
       .map { id =>
         val cls = (id % 6).toInt
@@ -146,7 +146,7 @@ object TextAnalysis {
     * SQL: trigram extraction, profile membership counts, argmax, gate). */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val (lang, ratio) = predictNgram(text)
@@ -165,7 +165,7 @@ object TextAnalysis {
       "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
       "敏捷的棕色狐狸跳过了懒惰的狗然后跑进了山里的树林",
       "12345 67890 24680 13579")
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id").as[Long]
       .map { id =>
         val payload = samples((id % 6).toInt) + " " + id
@@ -185,7 +185,7 @@ object TextAnalysis {
     import spark.implicits._
     val M = Hash61.M
     val B = 1000003L
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val words = text.split("\\s+").filter(_.nonEmpty)

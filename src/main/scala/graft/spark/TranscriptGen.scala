@@ -223,7 +223,7 @@ object TranscriptGen {
     // the source parquet is a single small file (one scan task); spread the
     // docs first so HTML generation runs at full parallelism — a bench-input
     // artifact only (a real 10^12-turn table scans parallel by itself)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text")
       .repartition(spark.sparkContext.defaultParallelism * 2)
       .as[(Long, String)]
@@ -249,7 +249,7 @@ object TranscriptGen {
     * conversation's docs are consecutive). */
   def roundtripTurns(spark: SparkSession, sfDir: String, minChars: Int): Dataset[Turn] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text", "n_chars")
       .where(col("n_chars") >= minChars)
       .as[(Long, String, Long)]

@@ -71,21 +71,48 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("resume ledger: second run processes nothing new") {
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
-    val out = s"$dir/out"
-    val ledger = s"$dir/ledger"
+    val io = graft.spark.TableIO(spark, dir)
     val turns = TranscriptGen.turns(spark, sfDir, 1)
     val fp = ExtractJob.inputFingerprint(spark, s"$sfDir/documents.parquet")
-    val l1 = ExtractJob.runResumable(spark, turns, 8, fp, out, ledger)
+    val l1 = ExtractJob.runResumable(spark, turns, 8, fp, io, "out", "ledger")
     assert(l1.nonEmpty)
-    val n1 = spark.read.parquet(out).count()
+    val n1 = io.read("out").count()
     assert(n1 == turns.count())
     // resume: every bucket is ledgered → no work, no new output
-    val l2 = ExtractJob.runResumable(spark, turns, 8, fp, out, ledger)
+    val l2 = ExtractJob.runResumable(spark, turns, 8, fp, io, "out", "ledger")
     assert(l2.isEmpty)
-    assert(spark.read.parquet(out).count() == n1)
+    assert(io.read("out").count() == n1)
     // a different input fingerprint reprocesses everything
-    val l3 = ExtractJob.runResumable(spark, turns, 8, fp + "-v2", out, ledger)
+    val l3 = ExtractJob.runResumable(spark, turns, 8, fp + "-v2", io, "out", "ledger")
     assert(l3.nonEmpty)
+  }
+
+  test("TableIO seam: a registered scheme factory is honored by every operator read") {
+    val s = spark
+    import s.implicits._
+    // stub catalog: serves a tiny in-memory documents table under a
+    // scheme root — proves parquet-now/catalog-later is a drop-in swap
+    // (BASELINE.md:52), with zero per-operator changes
+    val stubDocs = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb"))
+      .toDF("doc_id", "text")
+    graft.spark.TableIO.registerScheme("stub",
+      (_, _) => new graft.spark.TableIO {
+        def read(table: String) = { require(table == "documents", table); stubDocs }
+        def exists(table: String) = table == "documents"
+        def write(df: org.apache.spark.sql.DataFrame, table: String,
+            mode: org.apache.spark.sql.SaveMode) = fail("stub is read-only")
+        def writePartitioned(df: org.apache.spark.sql.DataFrame, table: String,
+            partitionCol: String) = fail("stub is read-only")
+      })
+    try {
+      val groups = graft.spark.Dedup.exact(spark, "stub://anything")
+        .as[(String, Long, Long)].collect().map { case (_, cnt, keeper) => (cnt, keeper) }
+        .sorted.toSeq
+      assert(groups == Seq((1L, 3L), (2L, 1L)),
+        "operator must have read the stub catalog, not the filesystem")
+    } finally graft.spark.TableIO.unregisterScheme("stub")
+    // unregistered scheme-less roots still resolve to parquet dirs
+    assert(graft.spark.TableIO(spark, sfDir).read("documents").count() > 0)
   }
 
   test("salting balances skewed conversations across buckets") {
