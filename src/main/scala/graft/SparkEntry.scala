@@ -267,6 +267,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(s, dir)),
     "dedup_embedding_nn" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "dedup_embedding_nn_probe" -> ((s, dir) => {
       // The SUBLINEAR path (nprobe=6 of 16 cells) driver-verified: plant
@@ -974,6 +975,7 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),
     "ann_ivf_topk" -> graft.spark.OracleGen.ivfTopKSql(),
     "ann_pq_topk" -> graft.spark.OracleGen.pqTopKSql(),
+    "ann_ivfpq_topk" -> graft.spark.OracleGen.ivfpqTopKSql(),
     "ann_cosine_topk" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +

@@ -12,9 +12,9 @@ object OracleGen {
 
   /** Shared head: normalized embeddings + the corpus dimensionality. */
   private val embHead =
-    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+    "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      "dims AS (SELECT max(len(v)) AS dim FROM e)"
+      "dims AS MATERIALIZED (SELECT max(len(v)) AS dim FROM e)"
 
   private val rankTail =
     "SELECT query_id, CAST(rn AS INTEGER) AS \"rank\", corpus_id, cosine " +
@@ -28,18 +28,18 @@ object OracleGen {
     val numPlanes = numBands * planesPerBand
     embHead +
       // hyperplane component (p, i): (mix(p·4096+i+1) mod 2001 − 1000)/1000
-      ", pl AS (SELECT p, list_transform(range(0, (SELECT dim FROM dims)), " +
+      ", pl AS MATERIALIZED (SELECT p, list_transform(range(0, (SELECT dim FROM dims)), " +
       s"i -> CAST(${Hash61.mixSql("p * 4096 + i + 1")} % 2001 - 1000 AS DOUBLE) / 1000.0) AS plane " +
       s"FROM (SELECT unnest(range(0, $numPlanes)) AS p)), " +
-      "sb AS (SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(e.v, pl.plane) >= 0.0 " +
+      "sb AS MATERIALIZED (SELECT e.vec_id, pl.p, CASE WHEN list_dot_product(e.v, pl.plane) >= 0.0 " +
       "THEN 1 ELSE 0 END AS bit FROM e, pl), " +
-      s"bk AS (SELECT vec_id, CAST(p // $planesPerBand AS INTEGER) AS band_idx, " +
+      s"bk AS MATERIALIZED (SELECT vec_id, CAST(p // $planesPerBand AS INTEGER) AS band_idx, " +
       s"SUM(bit * (1 << (p % $planesPerBand))) AS bucket FROM sb GROUP BY 1, 2), " +
-      s"q AS (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT $numQueries), " +
-      "cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id " +
+      s"q AS MATERIALIZED (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT $numQueries), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id " +
       "FROM bk cb JOIN bk qb ON cb.band_idx = qb.band_idx AND cb.bucket = qb.bucket " +
       "JOIN q ON qb.vec_id = q.query_id WHERE cb.vec_id <> qb.vec_id), " +
-      "sc AS (SELECT c.query_id, c.corpus_id, " +
+      "sc AS MATERIALIZED (SELECT c.query_id, c.corpus_id, " +
       "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
       "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
       "JOIN e qe ON qe.vec_id = c.query_id) " +
@@ -122,6 +122,42 @@ object OracleGen {
       s"sj_ -> ($cv[sj_] - $vv[($sExpr) * sub + sj_]) * ($cv[sj_] - $vv[($sExpr) * sub + sj_]))), " +
       "(sx_, sy_) -> sx_ + sy_)"
 
+  /** Per-subspace PQ training + coding CTEs over source CTE `src`
+    * (columns `vec_id`, `r DOUBLE[]`): emits sp, ps0, pcent0..N (Lloyd),
+    * cdist (per-(vector, subspace, centroid) distances vs the final
+    * codebook) and codes (per-(vector, subspace) nearest centroid).
+    * Requires `pd` (the `sub` width) in scope. [[pqTopKSql]] trains on
+    * the raw vectors, [[ivfpqTopKSql]] on coarse residuals. */
+  private def pqTrainCtes(src: String, m: Int, ksub: Int, lloydIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s", sp AS MATERIALIZED (SELECT unnest(range(0, $m)) AS s)")
+    sb.append(s", ps0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r FROM $src)")
+    sb.append(", pcent0 AS MATERIALIZED (SELECT sp.s, ps0.c, " +
+      "list_transform(range(1, sub + 1), j0_ -> ps0.r[sp.s * sub + j0_]) AS cv " +
+      s"FROM ps0 CROSS JOIN sp CROSS JOIN pd WHERE ps0.c < $ksub)")
+    for (i <- 1 to lloydIters) {
+      val prev = s"pcent${i - 1}"
+      sb.append(s", pq$i AS MATERIALIZED (SELECT sv.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "sv.r", "c0.s")} AS d " +
+        s"FROM $src sv CROSS JOIN $prev c0 CROSS JOIN pd)")
+      sb.append(s", pa$i AS MATERIALIZED (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+        s"row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM pq$i) WHERE rn = 1)")
+      // ordered elementwise slice sum (vec_id order == JVM accumulation)
+      sb.append(s", pm$i AS MATERIALIZED (SELECT a.s, a.c, count(*) AS cnt, " +
+        "list_reduce(list(list_transform(range(1, sub + 1), mj_ -> sv.r[a.s * sub + mj_]) ORDER BY sv.vec_id), " +
+        "(mx_, my_) -> list_transform(range(1, sub + 1), ej_ -> mx_[ej_] + my_[ej_])) AS sums " +
+        s"FROM pa$i a JOIN $src sv ON sv.vec_id = a.vec_id CROSS JOIN pd GROUP BY a.s, a.c, sub)")
+      sb.append(s", pcent$i AS MATERIALIZED (SELECT c0.s, c0.c, CASE WHEN pm.c IS NULL THEN c0.cv " +
+        "ELSE list_transform(range(1, sub + 1), cj_ -> pm.sums[cj_] / pm.cnt) END AS cv " +
+        s"FROM $prev c0 CROSS JOIN pd LEFT JOIN pm$i pm ON c0.s = pm.s AND c0.c = pm.c)")
+    }
+    val cf = s"pcent$lloydIters"
+    sb.append(s", cdist AS MATERIALIZED (SELECT sv.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "sv.r", "c0.s")} AS d " +
+      s"FROM $src sv CROSS JOIN $cf c0 CROSS JOIN pd)")
+    sb.append(", codes AS MATERIALIZED (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
+      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM cdist) WHERE rn = 1)")
+    sb.toString
+  }
+
   /** Replays [[Similarity.pqTopK]] end to end: per-subspace Lloyd
     * training (the IVF replay with a subspace grouping column), corpus
     * codes, ADC distances summed in subspace order (`list_reduce` over
@@ -131,42 +167,67 @@ object OracleGen {
   def pqTopKSql(m: Int = 8, ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
       numQueries: Int = 20, lloydIters: Int = 5): String = {
     val sb = new StringBuilder(embHead)
-    sb.append(s", pd AS (SELECT dim // $m AS sub FROM dims)")
-    sb.append(s", sp AS (SELECT unnest(range(0, $m)) AS s)")
-    sb.append(", ps0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
-    sb.append(", pcent0 AS (SELECT sp.s, ps0.c, " +
-      "list_transform(range(1, sub + 1), j0_ -> ps0.v[sp.s * sub + j0_]) AS cv " +
-      s"FROM ps0 CROSS JOIN sp CROSS JOIN pd WHERE ps0.c < $ksub)")
-    for (i <- 1 to lloydIters) {
-      val prev = s"pcent${i - 1}"
-      sb.append(s", pq$i AS (SELECT e.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "e.v", "c0.s")} AS d " +
-        s"FROM e CROSS JOIN $prev c0 CROSS JOIN pd)")
-      sb.append(s", pa$i AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
-        s"row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM pq$i) WHERE rn = 1)")
-      // ordered elementwise slice sum (vec_id order == JVM accumulation)
-      sb.append(s", pm$i AS (SELECT a.s, a.c, count(*) AS cnt, " +
-        "list_reduce(list(list_transform(range(1, sub + 1), mj_ -> e.v[a.s * sub + mj_]) ORDER BY e.vec_id), " +
-        "(mx_, my_) -> list_transform(range(1, sub + 1), ej_ -> mx_[ej_] + my_[ej_])) AS sums " +
-        s"FROM pa$i a JOIN e ON e.vec_id = a.vec_id CROSS JOIN pd GROUP BY a.s, a.c, sub)")
-      sb.append(s", pcent$i AS (SELECT c0.s, c0.c, CASE WHEN pm.c IS NULL THEN c0.cv " +
-        "ELSE list_transform(range(1, sub + 1), cj_ -> pm.sums[cj_] / pm.cnt) END AS cv " +
-        s"FROM $prev c0 CROSS JOIN pd LEFT JOIN pm$i pm ON c0.s = pm.s AND c0.c = pm.c)")
-    }
-    val cf = s"pcent$lloydIters"
-    sb.append(s", cdist AS (SELECT e.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "e.v", "c0.s")} AS d " +
-      s"FROM e CROSS JOIN $cf c0 CROSS JOIN pd)")
-    sb.append(", codes AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
-      "row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM cdist) WHERE rn = 1)")
-    sb.append(s", q AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
+    sb.append(s", pd AS MATERIALIZED (SELECT dim // $m AS sub FROM dims)")
+    sb.append(", pv AS MATERIALIZED (SELECT vec_id, v AS r FROM e)")
+    sb.append(pqTrainCtes("pv", m, ksub, lloydIters))
+    sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
     // ADC: the query rows of cdist ARE the lookup tables dt(s, c)
-    sb.append(", ax AS (SELECT dt.vec_id AS query_id, cd.vec_id AS corpus_id, " +
+    sb.append(", ax AS MATERIALIZED (SELECT dt.vec_id AS query_id, cd.vec_id AS corpus_id, " +
       "list_reduce(list_prepend(0.0, list(dt.d ORDER BY dt.s)), (ax_, ay_) -> ax_ + ay_) AS ad " +
       "FROM cdist dt JOIN q ON dt.vec_id = q.vec_id " +
       "JOIN codes cd ON cd.s = dt.s AND cd.c = dt.c " +
       "WHERE cd.vec_id <> dt.vec_id GROUP BY dt.vec_id, cd.vec_id)")
-    sb.append(s", cand AS (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, " +
+    sb.append(s", cand AS MATERIALIZED (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, " +
       s"row_number() OVER (PARTITION BY query_id ORDER BY ad, corpus_id) AS rn FROM ax) WHERE rn <= $shortlist)")
-    sb.append(", sc AS (SELECT c.query_id, c.corpus_id, " +
+    sb.append(", sc AS MATERIALIZED (SELECT c.query_id, c.corpus_id, " +
+      "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
+      "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
+      "JOIN e qe ON qe.vec_id = c.query_id) ")
+    sb.append(rankTail + k)
+    sb.toString
+  }
+
+  /** Replays [[Similarity.ivfpqTopK]] (IVFADC): the coarse-IVF CTEs
+    * ([[coarseCtes]] — training, corpus cell assignment), per-vector
+    * residuals vs the final coarse centroid, PQ training/coding on those
+    * residuals ([[pqTrainCtes]]), query probing (nprobe nearest cells),
+    * per-(query, cell) residual ADC tables, subspace-ordered ADC sums on
+    * the probed cells' codes, top-`shortlist` by (approx, id), exact
+    * cosine re-rank. Same bounded-sample assumption as the pieces. */
+  def ivfpqTopKSql(numCentroids: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5): String = {
+    val cf = s"cent$lloydIters"
+    val pcf = s"pcent$lloydIters"
+    val sb = new StringBuilder(embHead)
+    sb.append(s", pd AS MATERIALIZED (SELECT dim // $m AS sub FROM dims)")
+    sb.append(coarseCtes(numCentroids, lloydIters))
+    // corpus residuals vs the assigned cell's final centroid
+    sb.append(", res AS MATERIALIZED (SELECT e.vec_id, list_transform(range(1, dim + 1), " +
+      "rj_ -> e.v[rj_] - cf.cv[rj_]) AS r " +
+      s"FROM e JOIN asg ON asg.vec_id = e.vec_id JOIN $cf cf ON cf.c = asg.cell CROSS JOIN dims)")
+    sb.append(pqTrainCtes("res", m, ksub, lloydIters))
+    sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
+    sb.append(", probes AS MATERIALIZED (SELECT vec_id AS query_id, c AS cell FROM (" +
+      "SELECT df.vec_id, df.c, row_number() OVER (PARTITION BY df.vec_id ORDER BY d, c) AS rn " +
+      s"FROM df JOIN q ON df.vec_id = q.vec_id) WHERE rn <= $nprobe)")
+    // per-(query, probed cell) residual, then its ADC table rows
+    sb.append(", qres AS MATERIALIZED (SELECT p.query_id, p.cell, list_transform(range(1, dim + 1), " +
+      "qj_ -> qe.v[qj_] - cf.cv[qj_]) AS r " +
+      s"FROM probes p JOIN e qe ON qe.vec_id = p.query_id JOIN $cf cf ON cf.c = p.cell CROSS JOIN dims)")
+    sb.append(s", qdt AS MATERIALIZED (SELECT qr.query_id, qr.cell, c0.s, c0.c, " +
+      s"${subDistSql("c0.cv", "qr.r", "c0.s")} AS d " +
+      s"FROM qres qr CROSS JOIN $pcf c0 CROSS JOIN pd)")
+    // ADC sum over the probed cells' codes, folded in subspace order
+    sb.append(", ax AS MATERIALIZED (SELECT qd.query_id, ca.vec_id AS corpus_id, " +
+      "list_reduce(list_prepend(0.0, list(qd.d ORDER BY qd.s)), (ax_, ay_) -> ax_ + ay_) AS ad " +
+      "FROM asg ca JOIN probes p ON p.cell = ca.cell " +
+      "JOIN codes cd ON cd.vec_id = ca.vec_id " +
+      "JOIN qdt qd ON qd.query_id = p.query_id AND qd.cell = ca.cell AND qd.s = cd.s AND qd.c = cd.c " +
+      "WHERE ca.vec_id <> p.query_id GROUP BY qd.query_id, ca.vec_id)")
+    sb.append(s", cand AS MATERIALIZED (SELECT query_id, corpus_id FROM (SELECT query_id, corpus_id, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY ad, corpus_id) AS rn FROM ax) WHERE rn <= $shortlist)")
+    sb.append(", sc AS MATERIALIZED (SELECT c.query_id, c.corpus_id, " +
       "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
       "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
       "JOIN e qe ON qe.vec_id = c.query_id) ")
@@ -180,39 +241,48 @@ object OracleGen {
     * probing, exact re-rank. Assumes the corpus fits the training
     * sampleCap (4096 — true at every shipped SF; the Spark side samples
     * `ORDER BY vec_id LIMIT 4096`). */
-  def ivfTopKSql(numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
-      numQueries: Int = 20, lloydIters: Int = 5): String = {
-    val sb = new StringBuilder(embHead)
-    sb.append(", s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
-    sb.append(s", cent0 AS (SELECT c, v AS cv FROM s0 WHERE c < $numCentroids)")
+  /** Coarse-IVF CTEs shared by [[ivfTopKSql]] and [[ivfpqTopKSql]]:
+    * training (cent0..N), per-(vector, final centroid) distances (df) and
+    * the corpus cell assignment (asg). Requires e/dims in scope. */
+  private def coarseCtes(numCentroids: Int, lloydIters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(", s0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
+    sb.append(s", cent0 AS MATERIALIZED (SELECT c, v AS cv FROM s0 WHERE c < $numCentroids)")
     for (i <- 1 to lloydIters) {
       val prev = s"cent${i - 1}"
       // assign every sample vector to its nearest centroid (ties → low c)
-      sb.append(s", d$i AS (SELECT e.vec_id, e.v, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
+      sb.append(s", d$i AS MATERIALIZED (SELECT e.vec_id, e.v, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
         s"FROM e CROSS JOIN $prev c0 CROSS JOIN dims)")
-      sb.append(s", a$i AS (SELECT vec_id, v, c FROM (SELECT vec_id, v, c, " +
+      sb.append(s", a$i AS MATERIALIZED (SELECT vec_id, v, c FROM (SELECT vec_id, v, c, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i) WHERE rn = 1)")
       // ordered elementwise sum (vec_id order == the JVM accumulation order)
-      sb.append(s", m$i AS (SELECT c, count(*) AS cnt, " +
+      sb.append(s", m$i AS MATERIALIZED (SELECT c, count(*) AS cnt, " +
         "list_reduce(list(v ORDER BY vec_id), (mx_, my_) -> " +
         "list_transform(range(1, dim + 1), mj_ -> mx_[mj_] + my_[mj_])) AS sums " +
         s"FROM a$i CROSS JOIN dims GROUP BY c, dim)")
-      sb.append(s", cent$i AS (SELECT c0.c, CASE WHEN m.c IS NULL THEN c0.cv " +
+      sb.append(s", cent$i AS MATERIALIZED (SELECT c0.c, CASE WHEN m.c IS NULL THEN c0.cv " +
         "ELSE list_transform(range(1, dim + 1), cj_ -> m.sums[cj_] / m.cnt) END AS cv " +
         s"FROM $prev c0 CROSS JOIN dims LEFT JOIN m$i m ON c0.c = m.c)")
     }
     val cf = s"cent$lloydIters"
-    sb.append(s", df AS (SELECT e.vec_id, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
+    sb.append(s", df AS MATERIALIZED (SELECT e.vec_id, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
       s"FROM e CROSS JOIN $cf c0 CROSS JOIN dims)")
-    sb.append(", asg AS (SELECT vec_id, c AS cell FROM (SELECT vec_id, c, " +
+    sb.append(", asg AS MATERIALIZED (SELECT vec_id, c AS cell FROM (SELECT vec_id, c, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM df) WHERE rn = 1)")
-    sb.append(s", q AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
-    sb.append(", probes AS (SELECT vec_id AS query_id, c AS cell FROM (" +
+    sb.toString
+  }
+
+  def ivfTopKSql(numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
+      numQueries: Int = 20, lloydIters: Int = 5): String = {
+    val sb = new StringBuilder(embHead)
+    sb.append(coarseCtes(numCentroids, lloydIters))
+    sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
+    sb.append(", probes AS MATERIALIZED (SELECT vec_id AS query_id, c AS cell FROM (" +
       "SELECT df.vec_id, df.c, row_number() OVER (PARTITION BY df.vec_id ORDER BY d, c) AS rn " +
       s"FROM df JOIN q ON df.vec_id = q.vec_id) WHERE rn <= $nprobe)")
-    sb.append(", cand AS (SELECT p.query_id, a.vec_id AS corpus_id " +
+    sb.append(", cand AS MATERIALIZED (SELECT p.query_id, a.vec_id AS corpus_id " +
       "FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.query_id)")
-    sb.append(", sc AS (SELECT c.query_id, c.corpus_id, " +
+    sb.append(", sc AS MATERIALIZED (SELECT c.query_id, c.corpus_id, " +
       "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
       "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +
       "JOIN e qe ON qe.vec_id = c.query_id) ")

@@ -99,12 +99,21 @@ object Similarity {
     * width=dim); PQ trains one call per subspace — ONE copy of every
     * bit-exactness-critical rule both oracles replay. */
   private def lloydSlice(sample: Array[(Long, Array[Float])], off: Int,
+      width: Int, numCentroids: Int, lloydIters: Int): Array[Array[Double]] =
+    // float→double widening is exact, so the double core reproduces the
+    // original float-input arithmetic bit-for-bit
+    lloydSliceD(sample.map { case (id, v) => (id, v.map(_.toDouble)) },
+      off, width, numCentroids, lloydIters)
+
+  /** Double-vector Lloyd core — also trains PQ codebooks on IVF
+    * RESIDUALS (which are double-valued) for [[ivfpqTopK]]. */
+  private def lloydSliceD(sample: Array[(Long, Array[Double])], off: Int,
       width: Int, numCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
     var centroids = Array.tabulate(numCentroids) { c =>
       val v = sample(c % sample.length)._2
-      Array.tabulate(width)(j => v(off + j).toDouble)
+      Array.tabulate(width)(j => v(off + j))
     }
-    def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < cs.length) {
         var d = 0.0; var j = 0
@@ -223,6 +232,34 @@ object Similarity {
     /** ADC lookup table for one query: dt(s)(c) = ||q_s − cent(s,c)||². */
     def adcTable(q: Array[Float]): Array[Array[Double]] =
       Array.tabulate(m, ksub)((s, c) => distSq(s, c, q))
+
+    // Double-vector faces, for IVFADC where the encoded/queried vectors
+    // are RESIDUALS (v − coarse centroid) and therefore double-valued.
+
+    def distSqD(s: Int, c: Int, v: Array[Double]): Double = {
+      val cv = cents(s)(c); val off = s * sub
+      var d = 0.0; var j = 0
+      while (j < sub) { val t = cv(j) - v(off + j); d += t * t; j += 1 }
+      d
+    }
+
+    def encodeD(v: Array[Double]): Array[Int] = {
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          val d = distSqD(s, c, v)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(s) = best; s += 1
+      }
+      out
+    }
+
+    def adcTableD(q: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m, ksub)((s, c) => distSqD(s, c, q))
   }
 
   private[spark] def trainPq(emb: Dataset[(Long, Array[Float])],
@@ -298,6 +335,127 @@ object Similarity {
 
     // exact cosine re-rank of the tiny shortlist (broadcast) vs corpus
     val corpus = normed(embDF, "corpus_id")
+    val queries = normed(queryRows.toDF("vec_id", "embedding"), "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val scored = corpus.join(broadcast(cand), "corpus_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot("embedding", "q_embedding") /
+          (col("corpus_id_norm") * col("query_id_norm"))).as("cosine"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
+  // ---------- IVFADC (coarse IVF + PQ on residuals) ----------
+
+  /** PQ codebooks trained on coarse-quantizer residuals from a bounded,
+    * vec_id-ordered sample — the codebook layout IVFADC scans against. */
+  private[spark] def trainPqResiduals(sample: Array[(Long, Array[Float])],
+      q: Quantizer, m: Int, ksub: Int, lloydIters: Int): PqCodebook = {
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val resSample = sample.map { case (id, v) =>
+      val cv = q.centroids(q.nearest(v))
+      (id, Array.tabulate(dim)(j => v(j).toDouble - cv(j)))
+    }
+    new PqCodebook(Array.tabulate(m)(s =>
+      lloydSliceD(resSample, s * sub, sub, ksub, lloydIters)))
+  }
+
+  /** IVFADC — the billion-scale ANN layout the IVF and PQ pieces exist to
+    * serve (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): an IVF coarse quantizer partitions the corpus into cells;
+    * PQ codebooks trained on RESIDUALS (v − coarse centroid) encode each
+    * vector as m bytes; a query probes its `nprobe` nearest cells and
+    * scans only those cells' codes with a per-cell residual ADC table.
+    *
+    * Scale shape: the corpus pass is one typed map — assign cell, encode
+    * residual, score against the broadcast (query, cell) ADC tables with
+    * a per-partition bounded heap, so the shortlist shuffle carries
+    * ≤ partitions·queries·shortlist rows and only the m-byte codes (not
+    * raw vectors) are touched per candidate. Candidate generation never
+    * leaves the row; the only exchanges are the tiny shortlist window and
+    * the exact re-rank of shortlist·queries rows. Corpus vectors in
+    * unprobed cells are skipped entirely — the sublinear-scan face the
+    * flat PQ path lacks. */
+  def ivfpqTopK(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 32, k: Int = 5, numQueries: Int = 20,
+      lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val emb = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    ivfpqTopKOn(spark, emb, emb.orderBy("vec_id").limit(numQueries),
+      numCentroids, nprobe, m, ksub, shortlist, k, lloydIters, sampleCap)
+  }
+
+  /** Dataset-level IVFADC core (tests plant synthetic near-dups here). */
+  def ivfpqTopKOn(spark: SparkSession, emb: Dataset[(Long, Array[Float])],
+      queryRows: Dataset[(Long, Array[Float])],
+      numCentroids: Int, nprobe: Int, m: Int, ksub: Int,
+      shortlist: Int, k: Int, lloydIters: Int, sampleCap: Int): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val sample = emb.orderBy("vec_id").limit(sampleCap).collect()
+    val dim = sample.head._2.length
+    val q = new Quantizer(lloydSlice(sample, 0, dim, numCentroids, lloydIters))
+    val cb = trainPqResiduals(sample, q, m, ksub, lloydIters)
+    val bcQ = spark.sparkContext.broadcast(q)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    // bounded build side: per (query, probed cell) a residual ADC table,
+    // grouped by cell for the corpus-side scan
+    val qRows = queryRows.collect()
+    val qTabsByCell: Map[Int, Array[(Long, Array[Array[Double]])]] =
+      qRows.flatMap { case (qid, v) =>
+        q.probe(v, nprobe).map { cell =>
+          val cv = q.centroids(cell)
+          val rq = Array.tabulate(dim)(j => v(j).toDouble - cv(j))
+          (cell, (qid, cb.adcTableD(rq)))
+        }
+      }.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
+    val bcTabs = spark.sparkContext.broadcast(qTabsByCell)
+
+    val approx = emb.mapPartitions { it =>
+      val qv = bcQ.value; val cbv = bcCb.value; val tabs = bcTabs.value
+      // per-query max-heap of (approx_d, corpus_id): keeps the R smallest
+      val heaps = scala.collection.mutable.LinkedHashMap[Long,
+        scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+      it.foreach { case (cid, v) =>
+        val cell = qv.nearest(v)
+        tabs.get(cell).foreach { qts =>
+          val cv = qv.centroids(cell)
+          val r = Array.tabulate(v.length)(j => v(j).toDouble - cv(j))
+          val code = cbv.encodeD(r)
+          qts.foreach { case (qid, dt) =>
+            if (cid != qid) {
+              var ad = 0.0; var s = 0
+              while (s < cbv.m) { ad += dt(s)(code(s)); s += 1 }
+              val h = heaps.getOrElseUpdate(qid,
+                scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+              h.enqueue((ad, cid))
+              if (h.size > shortlist) { h.dequeue(); () }
+            }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (ad, cid) => (qid, cid, ad) } }
+    }.toDF("query_id", "corpus_id", "approx_d")
+
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_d"), col("corpus_id"))
+    val cand = approx.withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= shortlist)
+      .select("query_id", "corpus_id")
+
+    // exact cosine re-rank of the tiny shortlist (broadcast) vs corpus
+    val corpus = normed(emb.toDF("vec_id", "embedding"), "corpus_id")
     val queries = normed(queryRows.toDF("vec_id", "embedding"), "query_id")
       .withColumnRenamed("embedding", "q_embedding")
     val scored = corpus.join(broadcast(cand), "corpus_id")
