@@ -626,7 +626,9 @@ object SparkEntry {
     "drift_insdel" ->
       ("SELECT doc_id, " +
         "CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT) AS ins_blocks, " +
-        "CAST(CASE WHEN doc_id % 3 = 2 THEN length(regexp_extract(text, '[^ ]+$')) ELSE 0 END AS BIGINT) AS ins_chars, " +
+        // last WORD, not last-nonspace-run-to-EOL: tolerate trailing
+        // whitespace so the oracle tokenization matches Drift's \s+ split
+        "CAST(CASE WHEN doc_id % 3 = 2 THEN length(regexp_extract(text, '(\\S+)\\s*$', 1)) ELSE 0 END AS BIGINT) AS ins_chars, " +
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT) AS del_blocks, " +
         "CAST(CASE WHEN doc_id % 3 = 1 THEN 29 ELSE 0 END AS BIGINT) AS del_chars " +
         s"FROM documents WHERE n_chars >= $MinChars"),
@@ -823,8 +825,11 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS cjk, " +
         "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace FROM documents), " +
         "sc AS (SELECT doc_id, u.lang AS lang, " +
+        // greatest(..., 1) guards the empty/whitespace-only doc (norm is
+        // the two padding spaces, 0 trigrams): ratio 0/1 = 0.0 matches the
+        // Scala total<=0 → ('und', 0.0) early return
         "CAST(len(list_filter(range(1, length(norm) - 1), " +
-        "i -> list_contains(u.pf, substr(norm, i, 3)))) AS DOUBLE) / (length(norm) - 2) AS ratio " +
+        "i -> list_contains(u.pf, substr(norm, i, 3)))) AS DOUBLE) / greatest(length(norm) - 2, 1) AS ratio " +
         s"FROM nm, unnest([$profiles]) AS t(u)), " +
         "b AS (SELECT doc_id, lang, ratio, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rn FROM sc) " +

@@ -87,6 +87,23 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l3.nonEmpty)
   }
 
+  test("oracle precondition: the documents corpus is ASCII (Hash61.rawWordHashSql contract)") {
+    // rawWordHashSql folds DuckDB unicode() CODE POINTS while the JVM
+    // kernel folds UTF-16 charAt units — identical only for ASCII. The
+    // word-hash oracles are emitted against these corpora, so pin the
+    // assumption as a test instead of a comment (ADVICE r2): any non-ASCII
+    // doc would silently break oracle bit-equality.
+    val s = spark
+    import s.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.spark.TableIO(spark, dir).read("documents")
+        .where(org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7f]"))
+        .count()
+      assert(nonAscii == 0, s"$dir has $nonAscii non-ASCII documents — " +
+        "word-hash oracles are no longer bit-exact there")
+    }
+  }
+
   test("TableIO seam: a registered scheme factory is honored by every operator read") {
     val s = spark
     import s.implicits._
