@@ -268,7 +268,28 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(s, dir)),
-    "dedup_embedding_nn" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // Default face is SUBLINEAR (nprobe=6 of 16 cells): every vector gets
+    // a planted near-duplicate (halve every 9th dim — an exponent-only
+    // float op, exact in float AND double, so the DuckDB replay is
+    // bit-identical), and the probed cell join must recover every ≥0.95
+    // pair exactly. This is the 100 TB shape: candidates from 6/16 cells,
+    // never all-pairs. The exact all-cells mode stays driver-verified as
+    // dedup_embedding_nn_exact (the noise-like raw corpus has no dup
+    // structure, so exact NN there is intrinsically O(n²) — see
+    // Dedup.embeddingNearDup scaladoc).
+    "dedup_embedding_nn" -> ((s, dir) => {
+      import s.implicits._
+      val emb = TableIO(s, dir).read("embeddings")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val plants = emb.map { case (id, v) =>
+        (id + 100000L,
+          v.zipWithIndex.map { case (x, j) => if (j % 9 == 0) x * 0.5f else x })
+      }
+      Dedup.embeddingNearDupOn(s, emb.union(plants), threshold = 0.95,
+        numCentroids = 16, nprobe = 6)
+        .where(col("is_dup") === 1)
+    }),
+    "dedup_embedding_nn_exact" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "dedup_embedding_nn_probe" -> ((s, dir) => {
       // The SUBLINEAR path (nprobe=6 of 16 cells) driver-verified: plant
       // a near-duplicate of each of the first 500 vectors (halve every
@@ -948,7 +969,24 @@ object SparkEntry {
     // left-to-right double sum — bit-identical to both the typed JVM
     // kernel (embeddingNearDup) and the Catalyst aggregate/zip_with HOF
     // (bruteForceTopK), so raw doubles survive the driver's hash compare.
+    // Sublinear default: exact all-pairs NN over the fully-planted union
+    // (perturbation is exponent-exact ⇒ identical doubles both sides),
+    // filtered to the ≥0.95 pairs the 6 probed cells must recover.
     "dedup_embedding_nn" ->
+      ("WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pl AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(range(1, len(v) + 1), j -> CASE WHEN (j - 1) % 9 = 0 " +
+        "THEN v[j] * 0.5 ELSE v[j] END) AS v FROM e0), " +
+        "u AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl), " +
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM u), " +
+        "s AS (SELECT a.vec_id, b.vec_id AS nn_id, " +
+        "list_dot_product(b.v, a.v) / (b.nrm * a.nrm) AS cosine " +
+        "FROM n a JOIN n b ON a.vec_id <> b.vec_id), " +
+        "bst AS (SELECT vec_id, nn_id, cosine FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t WHERE rn = 1) " +
+        "SELECT vec_id, nn_id, cosine, CAST(1 AS BIGINT) AS is_dup " +
+        "FROM bst WHERE cosine >= 0.95"),
+    "dedup_embedding_nn_exact" ->
       ("WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
         "s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, " +

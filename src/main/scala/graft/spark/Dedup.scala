@@ -257,15 +257,19 @@ object Dedup {
     * candidate stream). Only the 16 centroids are broadcast; the corpus
     * is mapped, never collected.
     *
-    * `nprobe` defaults to ALL cells: exact mode, required because the
+    * `nprobe` defaults to ALL cells here: exact mode, because the raw
     * synthetic embeddings are noise-like (measured max pairwise cosine
     * ≈ 0.49 — no near-dup structure), so no sublinear candidate set can
     * contain every true nearest neighbor and the exact all-pairs DuckDB
-    * oracle demands equality. Exact NN is intrinsically O(n²·d) compute;
-    * this plan distributes it memory-safely. On a real corpus WITH dup
-    * structure, set `nprobe` ≪ `numCentroids` for sublinear candidates —
-    * dup-grade neighbors (cosine ≥ threshold) share nearest cells
-    * (SimilaritySpec pins planted-dup recall for the bucketed paths).
+    * oracle demands equality (driver face: `dedup_embedding_nn_exact`).
+    * Exact NN is intrinsically O(n²·d) compute; this plan distributes it
+    * memory-safely. On a corpus WITH dup structure `nprobe` ≪
+    * `numCentroids` is the production setting — dup-grade neighbors
+    * (cosine ≥ threshold) share nearest cells — and that sublinear shape
+    * IS the registered default (`dedup_embedding_nn`: every vector gets a
+    * planted near-dup, nprobe=6 of 16, and the oracle requires every
+    * ≥0.95 pair recovered exactly; `dedup_embedding_nn_probe` covers the
+    * partial-dup corpus where most vectors have no dup).
     *
     * Numerics: `dot_f64` is a strict left-to-right float→double sum,
     * bit-identical to DuckDB's `list_dot_product` oracle.

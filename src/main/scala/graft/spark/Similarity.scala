@@ -521,16 +521,21 @@ object Similarity {
       numBands: Int, planesPerBand: Int, k: Int): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val dim = emb.head()._2.length
-    val planes = lshPlanes(numBands * planesPerBand, dim)
-    val bcPlanes = spark.sparkContext.broadcast(planes)
 
-    def index(rows: Dataset[(Long, Array[Float])]) = rows.flatMap { case (id, v) =>
-      var n = 0.0; var j = 0
-      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
-      val nrm = math.sqrt(n)
-      val bks = lshBuckets(bcPlanes.value, numBands, planesPerBand, v)
-      (0 until numBands).iterator.map(b => (b, bks(b), id, v, nrm))
+    // planes are a pure deterministic function of (plane idx, dim) via
+    // Hash61, so each partition derives them from its first vector's
+    // length — no driver-side head() job (an extra tiny Spark job per
+    // call, VERDICT r2) and no broadcast needed
+    def index(rows: Dataset[(Long, Array[Float])]) = rows.mapPartitions { it =>
+      var planes: Array[Array[Double]] = null
+      it.flatMap { case (id, v) =>
+        if (planes == null) planes = lshPlanes(numBands * planesPerBand, v.length)
+        var n = 0.0; var j = 0
+        while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+        val nrm = math.sqrt(n)
+        val bks = lshBuckets(planes, numBands, planesPerBand, v)
+        (0 until numBands).iterator.map(b => (b, bks(b), id, v, nrm))
+      }
     }
 
     val corpus = index(emb).toDF("band_idx", "bucket", "corpus_id", "embedding", "corpus_norm")

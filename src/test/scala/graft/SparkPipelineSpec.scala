@@ -16,7 +16,10 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry so the lineage-under-retry test
+      // can inject a task failure (default local mode fails the job on
+      // the first task failure); other tests are unaffected
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,6 +70,32 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // user turns are plain text → no candidates → empty (confidence-0) path
     assert(rows.map(_.empty_turns).sum > 0)
     assert(rows.map(_.extracted_turns).sum > 0)
+  }
+
+  test("lineage: one row per bucket, counts exact, even when a task retries") {
+    // The dedup in Result.lineageRows assumes accumulator duplicates from
+    // retried tasks carry identical per-bucket stats (VERDICT r2 #8). The
+    // accumulator adds happen in the mapPartitions TRANSFORMATION, where
+    // Spark does NOT give exactly-once on retry — inject a failure AFTER
+    // the extraction iterator is exhausted (so the failed attempt already
+    // added its rows) and require lineage to still be one exact row per
+    // bucket with no double counting.
+    val s = spark
+    import s.implicits._
+    val turns = TranscriptGen.turns(spark, sfDir, 1)
+    val total = turns.count()
+    val res = ExtractJob.run(spark, turns, numBuckets = 8)
+    res.extracted.toDF().foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var n = 0
+      while (it.hasNext) { it.next(); n += 1 } // exhaust → lineage rows added
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0 && n >= 0)
+        throw new RuntimeException("injected task failure (retried)")
+    }
+    val rows = res.lineageRows
+    assert(rows.map(_.bucket).distinct.size == rows.size, "duplicate bucket rows")
+    assert(rows.map(r => r.extracted_turns + r.failed_turns + r.empty_turns).sum == total,
+      "retry double-counted turns in lineage")
   }
 
   test("resume ledger: second run processes nothing new") {
