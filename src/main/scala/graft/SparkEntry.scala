@@ -364,6 +364,10 @@ object SparkEntry {
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "lang_id_ngram_classes" -> ((s, dir) => TextAnalysis.langIdNgramClasses(s, dir)),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    // HLL distinct-content sketch per source: fixed 2^9-register state,
+    // merges map-side — the cardinality shape that works at 100 TB where
+    // count(distinct) cannot (Sketches scaladoc); exact count alongside
+    "corpus_hll_distinct" -> ((s, dir) => Sketches.hllDistinctPerSource(s, dir)),
 
     // ---- multimodal plumbing (stubbed codecs; Spark plumbing real) ----
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(s, dir)),
@@ -876,6 +880,9 @@ object SparkEntry {
         s"(fh_, fw_) -> (fh_ * 1000003 + fw_) % ${graft.spark.Hash61.M}::HUGEINT) AS BIGINT) AS fingerprint, " +
         "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words " +
         "FROM documents"),
+    // full HLL replay: fingerprint hash, registers, max-rho, ordered
+    // harmonic fold, same estimator constants and 6-decimal floor
+    "corpus_hll_distinct" -> graft.spark.Sketches.hllDistinctSql(),
     // decode-stub features are closed-form in (doc_id, text): the media
     // body is the UTF-8 of the ASCII text column, so the byte checksum is
     // a character-code fold.

@@ -173,21 +173,22 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // hooking: candidate = min(own label, neighbors' labels)
+      // hooking: candidate = min(own label, neighbors' labels); carry the
+      // pre-round label so the convergence check below is a scan of the
+      // checkpointed frame, not another join
       val nbrMin = undirected.join(labels, undirected("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
       val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          labels("label").as("old"))
       // shortcutting: label ← label(label) (pointer doubling)
       val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = snapshot(
+      val stepped = snapshot(
         hooked.join(l, hooked("label") === l("lid"))
-          .select(hooked("id"), col("llabel").as("label")))
-      converged = next.as("n")
-        .join(labels.withColumnRenamed("label", "old").as("o"), "id")
-        .where(col("label") =!= col("old")).limit(1).count() == 0
-      labels = next
+          .select(hooked("id"), col("llabel").as("label"), hooked("old")))
+      converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
+      labels = stepped.select("id", "label")
       iter += 1
     }
     undirected.unpersist()

@@ -1,0 +1,120 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketches for the training-data pipeline.
+  *
+  * At 100 TB, "how many distinct documents per domain" cannot be a
+  * `count(distinct ...)` — the exact aggregate shuffles every distinct
+  * key. HyperLogLog keeps a fixed 2^p-register state per group that
+  * merges associatively, so the whole corpus collapses map-side and the
+  * exchange carries ≤ groups·m tiny rows. Spark ships
+  * `approx_count_distinct` (also HLL), but its hash/state are opaque to
+  * the DuckDB oracle; this implementation derives every bit from
+  * [[Hash61]] so registers, harmonic sums, and the final estimate are
+  * bit-reproducible in SQL (the repo's correctness bar).
+  *
+  * Determinism contract (load-bearing for the oracle):
+  *  - the document hash is the fingerprint fold (mulmod/rawWordHash in
+  *    GF(2^61−1)) finished with `Hash61.mix` — pure row-local;
+  *  - per-(group, register) state is `max(rho)` — order-free, map-side
+  *    combined;
+  *  - the harmonic sum folds registers in ASCENDING register order from
+  *    0.0 (`list_reduce(list(... ORDER BY register))` on the DuckDB
+  *    side), and every term is a power of two — exact in IEEE754;
+  *  - the only transcendental (the `ln` of the small-range linear
+  *    counting branch) is floored to 6 decimals on both sides.
+  */
+object Sketches {
+
+  /** Per-source HLL distinct-content estimate next to the exact count
+    * (the verifier the estimate is judged against in SketchSpec).
+    * Output: (source, n_docs, exact_distinct, registers_used,
+    * hll_estimate). */
+  def hllDistinctPerSource(spark: SparkSession, sfDir: String,
+      p: Int = 9): DataFrame = {
+    import spark.implicits._
+    require(p >= 4 && p <= 16, s"p=$p out of range")
+    val m = 1 << p
+    val width = 61 - p
+
+    val hashed = TableIO(spark, sfDir).read("documents")
+      .select("source", "text").as[(String, String)]
+      .map { case (src, text) =>
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var fp = 0L
+        words.foreach { w =>
+          fp = (Hash61.mulmod(fp, TextAnalysis.FingerprintBase) + Hash61.rawWordHash(w)) % Hash61.M
+        }
+        val h = Hash61.mix(fp)
+        val reg = (h & (m - 1)).toInt
+        val w = h >>> p
+        // rank of the first 1-bit inside the (61-p)-wide word; all-zero
+        // word ranks width+1 (standard HLL rho)
+        val rho =
+          if (w == 0L) width + 1
+          else width + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        (src, h, reg, rho)
+      }.toDF("source", "h", "register", "rho")
+
+    val registers = hashed.groupBy("source", "register")
+      .agg(max("rho").as("rho")) // map-side combined: corpus collapses to ≤ groups·m rows
+
+    val estimates = registers.as[(String, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val present = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        var sum = 0.0
+        present.foreach { case (_, r) => sum += math.pow(2.0, -r) }
+        val zeros = m - present.length
+        val total = sum + zeros.toDouble // absent registers contribute 2^-0
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val raw = alpha * m * m / total
+        val est =
+          if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+          else raw
+        // 6-decimal floor: the linear-counting ln is the one term whose
+        // last ulp is not contractually identical across libm builds
+        (src, present.length.toLong, math.floor(est * 1e6) / 1e6)
+      }.toDF("source", "registers_used", "hll_estimate")
+
+    val exact = hashed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("exact_distinct"))
+
+    // 20 sources — broadcast join, never a shuffle of the sketch side
+    exact.join(broadcast(estimates), "source")
+      .select("source", "n_docs", "exact_distinct", "registers_used", "hll_estimate")
+  }
+
+  /** DuckDB replay of [[hllDistinctPerSource]]: fingerprint fold + mix,
+    * register/rho in HUGEINT, max-rho registers, ordered harmonic fold,
+    * same estimator constants, same 6-decimal floor. */
+  def hllDistinctSql(p: Int = 9): String = {
+    val m = 1 << p
+    val width = 61 - p
+    val fpFold =
+      "list_reduce(list_prepend(0::HUGEINT, list_transform(" +
+        "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
+        s"w -> ${Hash61.rawWordHashSql("w")})), " +
+        s"(fa_, fb_) -> (fa_ * ${TextAnalysis.FingerprintBase} + fb_) % ${Hash61.M}::HUGEINT)"
+    s"WITH fp AS MATERIALIZED (SELECT doc_id, source, ${Hash61.mixSql(fpFold)} AS h FROM documents), " +
+      s"reg AS MATERIALIZED (SELECT source, h, CAST(h % $m AS INTEGER) AS register, h // $m AS w FROM fp), " +
+      "rr AS MATERIALIZED (SELECT source, register, MAX(CASE WHEN w = 0 " +
+      s"THEN ${width + 1} ELSE ${width + 1} - length(bin(CAST(w AS UBIGINT))) END) AS rho " +
+      "FROM reg GROUP BY source, register), " +
+      "ag AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS registers_used, " +
+      "list_reduce(list_prepend(0.0, list(pow(2.0, -rho) ORDER BY register)), (ha_, hb_) -> ha_ + hb_) AS hsum " +
+      "FROM rr GROUP BY source), " +
+      "ex AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM reg GROUP BY source), " +
+      "es AS (SELECT source, registers_used, " +
+      s"(0.7213 / (1 + 1.079 / $m)) * $m * $m / (hsum + CAST($m - registers_used AS DOUBLE)) AS raw, " +
+      s"CAST($m - registers_used AS BIGINT) AS zeros FROM ag) " +
+      "SELECT ex.source, ex.n_docs, ex.exact_distinct, es.registers_used, " +
+      s"floor((CASE WHEN es.raw <= ${2.5 * m} AND es.zeros > 0 " +
+      s"THEN $m * ln(CAST($m AS DOUBLE) / es.zeros) ELSE es.raw END) * 1000000) / 1000000 AS hll_estimate " +
+      "FROM ex JOIN es ON es.source = ex.source"
+  }
+}

@@ -181,10 +181,14 @@ object TextAnalysis {
     * silently wrapped Long for wh ≥ 2^56, so those values were never the
     * documented mod-M function; the correct fold (Hash61Spec pins it
     * against BigInteger) is what the DuckDB oracle now checks. */
+  /** Rabin–Karp base of the document fingerprint fold (shared with the
+    * HLL sketch's document hash — [[Sketches.hllDistinctPerSource]]). */
+  val FingerprintBase = 1000003L
+
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val M = Hash61.M
-    val B = 1000003L
+    val B = FingerprintBase
     TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>

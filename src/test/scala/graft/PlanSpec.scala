@@ -163,6 +163,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dot_f64"), "re-rank must use the codegen'd dot product\n" + plan)
   }
 
+  test("IVFADC: no cartesian product; shortlist re-rank joins are broadcast") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // candidate generation is row-local (broadcast ADC tables inside the
+    // typed map); only the bounded shortlist and 20 queries are joined
+    // back for the exact re-rank — both must broadcast, never shuffle the
+    // corpus side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("minhash LSH: pair match count is codegen'd — no interpreted HOF in the plan") {
     val plan = finalPlan(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir))
     // round-2 blemish (VERDICT r2 "what's wrong" #1): matching-position

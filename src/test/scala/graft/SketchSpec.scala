@@ -1,0 +1,61 @@
+package graft
+
+import graft.spark.Sketches
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL cardinality sketch: the estimate must track the exact per-source
+  * distinct count within the sketch's error envelope, deterministically,
+  * and the plan must collapse map-side (the property that makes it the
+  * 100 TB cardinality tool). */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("estimate within the HLL error envelope of exact, per source, both SFs") {
+    val s = spark
+    import s.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Sketches.hllDistinctPerSource(spark, dir)
+        .select("source", "exact_distinct", "hll_estimate")
+        .as[(String, Long, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (src, exact, est) =>
+        // m=512 ⇒ σ ≈ 1.04/√512 ≈ 4.6%; small sources run the
+        // linear-counting branch which is tighter. 20% bound = >4σ —
+        // deterministic data, so this either holds or the sketch is wrong
+        val rel = math.abs(est - exact) / math.max(exact.toDouble, 1.0)
+        assert(rel <= 0.20, f"$src: est $est%.1f vs exact $exact (rel $rel%.3f)")
+      }
+    }
+  }
+
+  test("deterministic across runs and parallelism") {
+    val s = spark
+    import s.implicits._
+    def run() = Sketches.hllDistinctPerSource(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
+  test("plan: register state partial-aggregates map-side before the exchange") {
+    val plan = PlanTestUtil.finalPlan(Sketches.hllDistinctPerSource(spark, sfDir))
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_max")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "max(rho) must combine map-side so the corpus collapses before the shuffle\n" + plan)
+  }
+}
