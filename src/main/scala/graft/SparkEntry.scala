@@ -315,6 +315,9 @@ object SparkEntry {
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
 
     "decontaminate" -> ((s, dir) => Quality.decontaminate(s, dir)),
+    // the huge-eval-set scale path: fixed 128 KB Bloom broadcast instead
+    // of the exact shingle set; corpus pass stays row-local
+    "decontaminate_bloom" -> ((s, dir) => Quality.decontaminateBloom(s, dir)),
     "curate_pipeline" -> ((s, dir) => {
       // end-to-end curation: extraction → quality gate → per-domain
       // quota, with extraction and the signal kernel FUSED into one
@@ -790,6 +793,40 @@ object SparkEntry {
         "shr AS (SELECT cs.doc_id, count(*) AS shared FROM cs JOIN ev USING (sg) GROUP BY cs.doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(shr.shared, 0) AS BIGINT) AS shared_ngrams, " +
         "CAST(CASE WHEN coalesce(shr.shared, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM documents d LEFT JOIN shr ON shr.doc_id = d.doc_id"
+    },
+    // Bloom replay: same shingle CTEs, eval shingles → k Hash61 bit
+    // positions (DISTINCT = the filter), a corpus shingle "hits" iff all
+    // k of ITS positions are present — bit-for-bit the JVM filter's
+    // decision, false positives included
+    "decontaminate_bloom" -> {
+      import graft.spark.Hash61
+      val wh = "list_transform(ws, dw_ -> " + Hash61.wordHashSql("dw_") + ")"
+      def sh8(whs: String, iv: String) =
+        s"list_distinct(CASE WHEN len($whs) >= 8 THEN " +
+          s"list_transform(range(1, len($whs) - 6), $iv -> ${Hash61.shingleNSql(whs, iv, 8)}) " +
+          "ELSE []::HUGEINT[] END)"
+      val m = 1 << 20
+      val k = 4
+      def posSql(sg: String, i: String) =
+        s"${Hash61.mixSql(s"xor($sg, ${Hash61.mixSql(s"($i) + 1")})")} % $m"
+      "WITH wd AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "pay AS MATERIALIZED (SELECT d.doc_id, CASE WHEN d.doc_id % 7 = 3 THEN " +
+        "array_to_string(e.ws[1:12], ' ') || ' ' || d.text ELSE d.text END AS payload " +
+        "FROM documents d JOIN wd e ON e.doc_id = d.doc_id % 50), " +
+        "pw AS MATERIALIZED (SELECT doc_id, list_filter(string_split(payload, ' '), x -> x <> '') AS ws FROM pay), " +
+        s"ph AS MATERIALIZED (SELECT doc_id, $wh AS whs FROM pw), " +
+        s"sh AS MATERIALIZED (SELECT doc_id, ${sh8("whs", "si_")} AS shs FROM ph), " +
+        s"eh AS MATERIALIZED (SELECT $wh AS whs FROM wd WHERE doc_id < 50), " +
+        s"ev AS MATERIALIZED (SELECT DISTINCT unnest(${sh8("whs", "ei_")}) AS sg FROM eh), " +
+        s"ki AS (SELECT unnest(range(0, $k)) AS i), " +
+        s"ps AS MATERIALIZED (SELECT DISTINCT ${posSql("ev.sg", "ki.i")} AS pos FROM ev CROSS JOIN ki), " +
+        "cs AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sg FROM sh), " +
+        s"cp AS MATERIALIZED (SELECT doc_id, sg, ${posSql("cs.sg", "ki.i")} AS pos FROM cs CROSS JOIN ki), " +
+        s"hit AS MATERIALIZED (SELECT doc_id, sg FROM cp JOIN ps USING (pos) GROUP BY doc_id, sg HAVING count(*) = $k), " +
+        "shr AS (SELECT doc_id, count(*) AS flagged FROM hit GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(shr.flagged, 0) AS BIGINT) AS flagged_ngrams, " +
+        "CAST(CASE WHEN coalesce(shr.flagged, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
         "FROM documents d LEFT JOIN shr ON shr.doc_id = d.doc_id"
     },
     "vocab_topk" ->

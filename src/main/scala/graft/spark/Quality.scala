@@ -185,6 +185,80 @@ object Quality {
     }.toDF("doc_id", "shared_ngrams", "contaminated")
   }
 
+  /** Bloom-filter decontamination — the huge-eval-set scale path the
+    * exact variant's scaladoc promises. The exact `decontaminate`
+    * broadcasts the eval shingle SET, which grows with the eval suite;
+    * here the eval side collapses to a fixed `mBits`-bit Bloom filter
+    * (default 2^20 bits = 128 KB broadcast at ANY eval-set size): each
+    * eval shingle sets `kHashes` Hash61-derived bits, and the eval-side
+    * aggregation is a relational DISTINCT over bit positions — map-side
+    * combined, bounded by `mBits` rows regardless of corpus/eval scale —
+    * so the driver never holds more than the filter itself. The corpus
+    * pass stays ROW-LOCAL (no join, no shuffle).
+    *
+    * Bloom semantics: false positives only — a flagged shingle may not
+    * be a true eval shingle (rate ≈ (1−e^{−kn/m})^k; with the default
+    * sizing and the test suites, ≪1 expected per corpus), never false
+    * negatives, which is the correct failure direction for
+    * decontamination. The oracle replays the FILTER's decision (bit
+    * positions and all), so equality is exact even when a false positive
+    * fires. Same payload splicing as the exact variant so planted
+    * contamination stays covered. */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+      nWords: Int = 8, threshold: Int = 3, evalSetSize: Int = 50,
+      spanWords: Int = 12, mBits: Int = 1 << 20, kHashes: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val docs = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+
+    def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+    def shingleSet(ws: Array[String]): Array[Long] = {
+      val whs = ws.map(w => Hash61.wordHash(w))
+      if (whs.length < nWords) Array.empty
+      else (0 to whs.length - nWords).map(i => Hash61.shingleN(whs, i, nWords))
+        .distinct.toArray
+    }
+    def bitPos(sg: Long, i: Int): Int =
+      (Hash61.mix(sg ^ Hash61.mix(i + 1L)) % mBits).toInt
+
+    // spans for the planted-contamination payloads (same as exact variant)
+    val evalSpans: Map[Long, String] = TableIO(spark, sfDir).read("documents")
+      .where(col("doc_id") < evalSetSize)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, t) => id -> words(t).take(spanWords).mkString(" ") }.toMap
+    val bcSpans = spark.sparkContext.broadcast(evalSpans)
+
+    // eval side: shingle → k bit positions, relational DISTINCT (bounded
+    // by mBits), then the fixed-size filter on the driver
+    val positions = docs.where(col("doc_id") < evalSetSize)
+      .flatMap { case (_, t) =>
+        shingleSet(words(t)).iterator.flatMap(sg =>
+          (0 until kHashes).iterator.map(i => bitPos(sg, i)))
+      }.distinct().collect()
+    val filter = new Array[Long](mBits / 64)
+    positions.foreach(p => filter(p >>> 6) |= (1L << (p & 63)))
+    val bcFilter = spark.sparkContext.broadcast(filter)
+
+    docs.map { case (id, text) =>
+      val payload =
+        if (id % 7 == 3) bcSpans.value(id % evalSetSize) + " " + text else text
+      val f = bcFilter.value
+      def hit(sg: Long): Boolean = {
+        var i = 0
+        while (i < kHashes) {
+          val p = bitPos(sg, i)
+          if ((f(p >>> 6) & (1L << (p & 63))) == 0L) return false
+          i += 1
+        }
+        true
+      }
+      val flagged = shingleSet(words(payload)).count(hit).toLong
+      (id, flagged, if (flagged >= threshold) 1L else 0L)
+    }.toDF("doc_id", "flagged_ngrams", "contaminated")
+  }
+
   /** Two-phase per-source quota: a salted partial top-`quota` first, so a
     * mega-domain (the dominant skew at web scale — one source holding a
     * large corpus fraction) splits across `preSalt` partitions instead of

@@ -112,6 +112,28 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalPlan(df).contains("Exchange"))
   }
 
+  test("bloom decontamination: superset of exact flags, planted spans caught, row-local corpus pass") {
+    val s = spark
+    import s.implicits._
+    val exact = Quality.decontaminate(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloomDf = Quality.decontaminateBloom(spark, sfDir)
+    val bloom = bloomDf.as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet == exact.keySet)
+    bloom.foreach { case (id, (flagged, flag)) =>
+      assert(flag == (if (flagged >= 3) 1L else 0L))
+      // Bloom never loses a true hit: per-doc flagged count >= exact count
+      assert(flagged >= exact(id)._1, s"doc $id bloom $flagged < exact ${exact(id)._1}")
+      if (exact(id)._2 == 1L) assert(flag == 1L, s"doc $id lost its contamination flag")
+    }
+    // at this sizing (2^20 bits, 4 hashes, tiny eval set) false positives
+    // should be absent on this corpus: decisions identical to exact
+    assert(bloom.view.mapValues(_._2).toMap == exact.view.mapValues(_._2).toMap,
+      "unexpected Bloom false positive flipped a flag at default sizing")
+    // scale shape: corpus pass row-local (fixed 128 KB broadcast, no join)
+    assert(!finalPlan(bloomDf).contains("Exchange"))
+  }
+
   test("vocab top-k: map-side partial count, top-k without global sort") {
     val plan = finalPlan(SparkEntry.queries("vocab_topk")(spark, sfDir))
     assert(plan.contains("partial_count"),
