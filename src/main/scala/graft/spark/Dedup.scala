@@ -62,7 +62,44 @@ object Dedup {
     out
   }
 
-  private val MaxBucket = 64
+  private[spark] val MaxBucket = 64
+
+  /** MinHash signature + per-band hashes for one document — the kernel
+    * shared by the batch band join ([[minhashLsh]]) and the streaming
+    * detector ([[StreamingNearDup]]), so the two faces are pair-for-pair
+    * comparable. Returns None for documents too short to shingle. */
+  private[spark] def bandedSignature(text: String, numHashes: Int = 16,
+      bands: Int = 4): Option[(Array[Long], Array[Long])] = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingleHashes(text)
+    if (sh.isEmpty) None
+    else {
+      val sig = new Array[Long](numHashes)
+      var s = 0
+      while (s < numHashes) {
+        val seed = Hash61.mix(s + 1L) // deterministic per-hash seed
+        var m = Long.MaxValue
+        var i = 0
+        while (i < sh.length) {
+          val h = Hash61.mix(sh(i) ^ seed)
+          if (h < m) m = h
+          i += 1
+        }
+        sig(s) = m
+        s += 1
+      }
+      val bhs = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bh = 0L
+        var r = 0
+        while (r < rowsPerBand) { bh = Hash61.mix(bh ^ sig(b * rowsPerBand + r)); r += 1 }
+        bhs(b) = bh
+        b += 1
+      }
+      Some((sig, bhs))
+    }
+  }
 
   /** MinHash signatures + LSH banding: word-3-shingles → k minhashes →
     * bands → band equi-join → candidate pairs with matching-minhash
@@ -71,34 +108,13 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val rowsPerBand = numHashes / bands
     // kernel: per doc, signature and band hashes in one pass
     val banded0 = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val sh = shingleHashes(text)
-        if (sh.isEmpty) Iterator.empty
-        else {
-          val sig = new Array[Long](numHashes)
-          var s = 0
-          while (s < numHashes) {
-            val seed = Hash61.mix(s + 1L) // deterministic per-hash seed
-            var m = Long.MaxValue
-            var i = 0
-            while (i < sh.length) {
-              val h = Hash61.mix(sh(i) ^ seed)
-              if (h < m) m = h
-              i += 1
-            }
-            sig(s) = m
-            s += 1
-          }
-          (0 until bands).iterator.map { b =>
-            var bh = 0L
-            var r = 0
-            while (r < rowsPerBand) { bh = Hash61.mix(bh ^ sig(b * rowsPerBand + r)); r += 1 }
-            (id, sig, b, bh)
-          }
+        bandedSignature(text, numHashes, bands).iterator.flatMap {
+          case (sig, bhs) =>
+            (0 until bands).iterator.map(b => (id, sig, b, bhs(b)))
         }
       }.toDF("doc_id", "sig", "band_idx", "band_hash")
 

@@ -1,0 +1,108 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One emitted near-dup candidate pair (doc_a < doc_b), with the number
+  * of matching minhash positions — the same row the batch
+  * [[Dedup.minhashLsh]] emits. */
+final case class DupPair(doc_a: Long, doc_b: Long, matching: Long)
+
+/** One remembered document inside a band bucket's state. */
+final case class SigDoc(id: Long, sig: Seq[Long])
+
+/** State of one (band, band_hash) bucket: the documents seen within the
+  * dedup horizon, or a poison marker once the bucket exceeded the hot cap. */
+final case class BucketState(docs: List[SigDoc], poisoned: Boolean)
+
+/** Streaming MinHash-LSH near-duplicate detection — the streaming face of
+  * the batch band join, sharing its signature kernel
+  * ([[Dedup.bandedSignature]]) so the two are pair-for-pair comparable.
+  *
+  * Each arriving document fans out to its `bands` (band, band_hash) keys;
+  * per bucket, `flatMapGroupsWithState` keeps the documents seen within
+  * the watermark horizon and emits a [[DupPair]] against each of them the
+  * moment a new member arrives — near-dups are flagged ON ARRIVAL, not in
+  * a nightly batch. A pair colliding in several bands is emitted once per
+  * band (the batch face dedups with `distinct()`; streaming consumers
+  * dedup downstream or idempotently upsert).
+  *
+  * Scale bounds, in the same spirit as the batch job:
+  *  - state per bucket ≤ `maxBucket` signatures; a bucket that exceeds
+  *    the cap is POISONED — emptied and silenced — the streaming
+  *    analogue of the batch hot-bucket drop (boilerplate signatures
+  *    shared by a large corpus fraction generate O(n²) noise pairs;
+  *    at stream scale that is the difference between a detector and an
+  *    outage). Parity with batch holds exactly for corpora whose buckets
+  *    stay under the cap (StreamingSpec pins it on the test corpus).
+  *  - idle buckets leave the store entirely via the event-time timeout
+  *    once the watermark passes their last arrival + horizon, so state is
+  *    bounded by the dedup horizon, not stream lifetime — the same
+  *    contract as `dropDuplicatesWithinWatermark` in
+  *    [[StreamingExtract.dedupStream]]. A duplicate arriving later than
+  *    the horizon after its original is by design not flagged.
+  */
+object StreamingNearDup {
+
+  /** docs: streaming DataFrame with (doc_id: Long, text: String,
+    * ts: Timestamp). Emits candidate pairs in append mode. */
+  def detect(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      maxBucket: Int = Dedup.MaxBucket,
+      watermarkDelay: String = "1 hour",
+      horizonMs: Long = 3600L * 1000L): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .selectExpr("doc_id", "text", "ts", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .flatMap { case (id, text, ts, tsUs) =>
+        Dedup.bandedSignature(text, numHashes, bands).iterator.flatMap {
+          case (sig, bhs) =>
+            (0 until bands).iterator.map(b =>
+              (b.toLong, bhs(b), id, sig.toSeq, ts, tsUs))
+        }
+      }
+      .toDF("band_idx", "band_hash", "doc_id", "sig", "ts", "ts_us")
+      // watermark AFTER the typed fan-out: a typed map re-serializes its
+      // output, so an upstream watermark tag would not survive to the
+      // stateful operator
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Long, Seq[Long], java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, Long), it: Iterator[(Long, Long, Long, Seq[Long], java.sql.Timestamp, Long)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic in-batch order: event time, then doc id
+            val rows = it.toArray.sortBy(r => (r._6, r._3))
+            var st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
+            val out = Seq.newBuilder[DupPair]
+            rows.foreach { case (_, _, id, sig, _, _) =>
+              if (!st.poisoned && !st.docs.exists(_.id == id)) {
+                st.docs.foreach { other =>
+                  var m = 0L
+                  var i = 0
+                  val a = sig; val b = other.sig
+                  val n = math.min(a.length, b.length)
+                  while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+                  out += (if (id < other.id) DupPair(id, other.id, m)
+                          else DupPair(other.id, id, m))
+                }
+                st =
+                  if (st.docs.length + 1 > maxBucket) BucketState(Nil, poisoned = true)
+                  else BucketState(SigDoc(id, sig) :: st.docs, poisoned = false)
+              }
+            }
+            state.update(st)
+            // evict the bucket once the watermark passes its last arrival
+            // + horizon (ms CEILed — a floored timestamp fires early)
+            val lastMs = (rows.map(_._6).max + 999L) / 1000L
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -118,6 +118,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lateUser == 0L, "behind-watermark row must be filtered, not sessionized")
   }
 
+  test("streaming near-dup detection emits exactly the batch LSH pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+
+    // batch truth: the band join's distinct candidate pairs
+    val batch = graft.spark.Dedup.minhashLsh(s, sfDir)
+      .select("doc_a", "doc_b", "matching")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val t0 = TranscriptGen.FixedEpochMs
+    val rows = docs.map { case (id, text) =>
+      (id, text, new java.sql.Timestamp(t0 + id)) }
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.spark.StreamingNearDup
+      .detect(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // three micro-batches: pairs must work ACROSS batch boundaries
+    rows.grouped(math.max(rows.size / 3, 1)).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = s.table("neardup_stream")
+      .select("doc_a", "doc_b", "matching")
+      .as[(Long, Long, Long)].collect().toSet // per-band re-emissions collapse
+    assert(batch.nonEmpty, "test corpus has no candidate pairs — vacuous")
+    assert(streamed == batch,
+      s"streaming != batch: missing ${(batch -- streamed).take(5)}, extra ${(streamed -- batch).take(5)}")
+  }
+
+  test("streaming near-dup: duplicates beyond the horizon are not flagged; state evicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again today for sure"
+    val t0 = TranscriptGen.FixedEpochMs
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.spark.StreamingNearDup
+      .detect(stream.toDF().toDF("doc_id", "text", "ts"),
+        watermarkDelay = "10 seconds", horizonMs = 60000L)
+      .writeStream.format("memory").queryName("neardup_horizon")
+      .outputMode("append").start()
+    stream.addData(Seq((1L, text, new java.sql.Timestamp(t0))))
+    q.processAllAvailable()
+    // advance the watermark far past t0 + horizon: bucket state evicts
+    stream.addData(Seq((99L, "completely unrelated filler words making their own bucket here today",
+      new java.sql.Timestamp(t0 + 10L * 60 * 1000))))
+    q.processAllAvailable()
+    // the duplicate arrives long after the horizon — must NOT pair
+    stream.addData(Seq((2L, text, new java.sql.Timestamp(t0 + 11L * 60 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    assert(s.table("neardup_horizon").count() == 0L,
+      "pair emitted across an expired horizon — state not evicted")
+  }
+
   test("streaming dedup keeps the first-seen row per digest") {
     val s = spark
     import s.implicits._
