@@ -359,6 +359,38 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"),
           countDistinct(md5(col("text"))).as("n_unique_texts"))
     }),
+    "corpus_rollup" -> ((s, dir) => {
+      // multi-grain dashboard in ONE pass: (source, lang), per-source and
+      // grand totals via ROLLUP — Catalyst expands the grouping sets and
+      // the partial aggregation still combines map-side, so the corpus is
+      // read once for all three grains (three separate groupBys would
+      // scan 3×)
+      TableIO(s, dir).read("documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_chars"))
+    }),
+    "length_quantiles" -> ((s, dir) => {
+      // EXACT per-source length quantiles at any corpus size: lengths are
+      // bounded ints, so the counting histogram (groupBy source, n_chars)
+      // is fixed-size regardless of row count — the exact-quantile shape
+      // that scales where sort-based percentile_exact cannot; quantile =
+      // smallest value whose cumulative count reaches ceil(q·n)
+      import org.apache.spark.sql.expressions.Window
+      val h = TableIO(s, dir).read("documents")
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy("n_chars")
+      val wAll = Window.partitionBy("source")
+      def q(p: Double, name: String) =
+        min(when(col("cum") >= ceil(lit(p) * col("total")), col("n_chars"))).as(name)
+      h.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("total", sum(col("c")).over(wAll))
+        .groupBy("source")
+        .agg(q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99"))
+    }),
 
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
@@ -838,6 +870,22 @@ object SparkEntry {
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "COUNT(DISTINCT md5(text)) AS n_unique_texts " +
         "FROM documents GROUP BY source"),
+    "corpus_rollup" ->
+      ("SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        "FROM documents GROUP BY ROLLUP(source, lang)"),
+    // histogram cumsum quantile: smallest value whose cumulative count
+    // reaches ceil(q*n) — same definition, same IEEE ceil(double) both sides
+    "length_quantiles" ->
+      ("WITH h AS (SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, n_chars, " +
+        "SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum, " +
+        "SUM(c) OVER (PARTITION BY source) AS total FROM h) " +
+        "SELECT source, " +
+        "CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN n_chars END) AS BIGINT) AS p50, " +
+        "CAST(MIN(CASE WHEN cum >= ceil(0.9 * total) THEN n_chars END) AS BIGINT) AS p90, " +
+        "CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN n_chars END) AS BIGINT) AS p99 " +
+        "FROM t GROUP BY source"),
     "text_metrics" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words, " +
