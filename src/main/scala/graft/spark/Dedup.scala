@@ -182,10 +182,39 @@ object Dedup {
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
+    // Reliable checkpoints are NOT garbage-collected by Spark (the
+    // cleaner is off by default and GC-driven even when on): without
+    // cleanup a long clustering run accumulates one full labels copy per
+    // round. Track the files each round creates and delete a round's
+    // files once the NEXT round's snapshot has materialized (the final
+    // round's checkpoint backs the returned DataFrame and is kept).
+    // Assumes one clustering job per checkpoint dir at a time.
+    def listCk(): Set[org.apache.hadoop.fs.Path] =
+      if (checkpointDir.isEmpty) Set.empty
+      else spark.sparkContext.getCheckpointDir.map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Set.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(p).map(_.getPath).toSet
+      }.getOrElse(Set.empty)
+    def deleteCk(paths: Set[org.apache.hadoop.fs.Path]): Unit =
+      paths.foreach { p =>
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    var prevRoundFiles: Set[org.apache.hadoop.fs.Path] = Set.empty
+    def snapshotTracked(df: DataFrame): DataFrame = {
+      val before = listCk()
+      val out = snapshot(df)
+      val created = listCk() -- before
+      deleteCk(prevRoundFiles) // superseded by the snapshot just taken
+      prevRoundFiles = created
+      out
+    }
+
     val edges = pairs.toDF("a", "b")
     val undirected = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst").persist()
-    var labels = snapshot(ids.select(col("id")).withColumn("label", col("id")))
+    var labels = snapshotTracked(ids.select(col("id")).withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -200,7 +229,7 @@ object Dedup {
           labels("label").as("old"))
       // shortcutting: label ← label(label) (pointer doubling)
       val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
-      val stepped = snapshot(
+      val stepped = snapshotTracked(
         hooked.join(l, hooked("label") === l("lid"))
           .select(hooked("id"), col("llabel").as("label"), hooked("old")))
       converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0

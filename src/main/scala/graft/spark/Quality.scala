@@ -156,14 +156,6 @@ object Quality {
     val docs = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
 
-    def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
-    def shingleSet(ws: Array[String]): Array[Long] = {
-      val whs = ws.map(w => Hash61.wordHash(w))
-      if (whs.length < nWords) Array.empty
-      else (0 to whs.length - nWords).map(i => Hash61.shingleN(whs, i, nWords))
-        .distinct.toArray
-    }
-
     // Column-predicate filter (not a typed lambda) so the eval fetch
     // pushes down to the parquet scan instead of deserializing the corpus
     val evalDocs = TableIO(spark, sfDir).read("documents")
@@ -171,18 +163,31 @@ object Quality {
       .select("doc_id", "text").as[(Long, String)]
       .collect().sortBy(_._1)
     val evalSpans: Map[Long, String] =
-      evalDocs.map { case (id, t) => id -> words(t).take(spanWords).mkString(" ") }.toMap
+      evalDocs.map { case (id, t) => id -> splitWords(t).take(spanWords).mkString(" ") }.toMap
     val evalShingles: Set[Long] =
-      evalDocs.iterator.flatMap { case (_, t) => shingleSet(words(t)) }.toSet
+      evalDocs.iterator.flatMap { case (_, t) => shingleSet(splitWords(t), nWords) }.toSet
     val bcSpans = spark.sparkContext.broadcast(evalSpans)
     val bcSet = spark.sparkContext.broadcast(evalShingles)
 
     docs.map { case (id, text) =>
       val payload =
         if (id % 7 == 3) bcSpans.value(id % evalSetSize) + " " + text else text
-      val shared = shingleSet(words(payload)).count(bcSet.value.contains).toLong
+      val shared = shingleSet(splitWords(payload), nWords).count(bcSet.value.contains).toLong
       (id, shared, if (shared >= threshold) 1L else 0L)
     }.toDF("doc_id", "shared_ngrams", "contaminated")
+  }
+
+  /** Shared tokenization/shingling kernel of the two decontamination
+    * faces — QualitySpec's bloom-⊇-exact invariant depends on both using
+    * EXACTLY this word model (space split, empties dropped — the DuckDB
+    * `list_filter(string_split(...))` mirror). */
+  private def splitWords(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+
+  private def shingleSet(ws: Array[String], nWords: Int): Array[Long] = {
+    val whs = ws.map(w => Hash61.wordHash(w))
+    if (whs.length < nWords) Array.empty
+    else (0 to whs.length - nWords).map(i => Hash61.shingleN(whs, i, nWords))
+      .distinct.toArray
   }
 
   /** Bloom-filter decontamination — the huge-eval-set scale path the
@@ -212,29 +217,26 @@ object Quality {
     val docs = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
 
-    def words(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
-    def shingleSet(ws: Array[String]): Array[Long] = {
-      val whs = ws.map(w => Hash61.wordHash(w))
-      if (whs.length < nWords) Array.empty
-      else (0 to whs.length - nWords).map(i => Hash61.shingleN(whs, i, nWords))
-        .distinct.toArray
-    }
     def bitPos(sg: Long, i: Int): Int =
       (Hash61.mix(sg ^ Hash61.mix(i + 1L)) % mBits).toInt
 
-    // spans for the planted-contamination payloads (same as exact variant)
+    // spans for the planted-contamination payloads (same splice as the
+    // exact variant); the prefix is cut BEFORE collect so the driver
+    // holds spanWords words per eval doc, not full texts — at huge eval
+    // scale the driver state stays the filter plus these span stubs
     val evalSpans: Map[Long, String] = TableIO(spark, sfDir).read("documents")
       .where(col("doc_id") < evalSetSize)
-      .select("doc_id", "text").as[(Long, String)]
-      .collect().sortBy(_._1)
-      .map { case (id, t) => id -> words(t).take(spanWords).mkString(" ") }.toMap
+      .select(col("doc_id"), expr(
+        s"array_join(slice(filter(split(text, ' '), w -> w != ''), 1, $spanWords), ' ')").as("span"))
+      .as[(Long, String)]
+      .collect().toMap
     val bcSpans = spark.sparkContext.broadcast(evalSpans)
 
     // eval side: shingle → k bit positions, relational DISTINCT (bounded
     // by mBits), then the fixed-size filter on the driver
     val positions = docs.where(col("doc_id") < evalSetSize)
       .flatMap { case (_, t) =>
-        shingleSet(words(t)).iterator.flatMap(sg =>
+        shingleSet(splitWords(t), nWords).iterator.flatMap(sg =>
           (0 until kHashes).iterator.map(i => bitPos(sg, i)))
       }.distinct().collect()
     val filter = new Array[Long](mBits / 64)
@@ -254,7 +256,7 @@ object Quality {
         }
         true
       }
-      val flagged = shingleSet(words(payload)).count(hit).toLong
+      val flagged = shingleSet(splitWords(payload), nWords).count(hit).toLong
       (id, flagged, if (flagged >= threshold) 1L else 0L)
     }.toDF("doc_id", "flagged_ngrams", "contaminated")
   }

@@ -58,15 +58,24 @@ object Sketches {
         (src, h, reg, rho)
       }.toDF("source", "h", "register", "rho")
 
+    // ONE corpus pass: per (source, register) the sketch state (max rho)
+    // plus the doc count and exact distinct-h count — h determines its
+    // register, so per-register distinct counts sum to the per-source
+    // exact distinct. Map-side combined; the corpus is hashed once.
     val registers = hashed.groupBy("source", "register")
-      .agg(max("rho").as("rho")) // map-side combined: corpus collapses to ≤ groups·m rows
+      .agg(max("rho").as("rho"), count(lit(1)).as("c"),
+        countDistinct(col("h")).as("d"))
 
-    val estimates = registers.as[(String, Int, Int)]
+    registers.as[(String, Int, Int, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (src, it) =>
-        val present = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val present = it.map(t => (t._2, t._3, t._4, t._5)).toArray.sortBy(_._1)
         var sum = 0.0
-        present.foreach { case (_, r) => sum += math.pow(2.0, -r) }
+        var nDocs = 0L
+        var exact = 0L
+        present.foreach { case (_, r, c, d) =>
+          sum += math.pow(2.0, -r); nDocs += c; exact += d
+        }
         val zeros = m - present.length
         val total = sum + zeros.toDouble // absent registers contribute 2^-0
         val alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -76,16 +85,8 @@ object Sketches {
           else raw
         // 6-decimal floor: the linear-counting ln is the one term whose
         // last ulp is not contractually identical across libm builds
-        (src, present.length.toLong, math.floor(est * 1e6) / 1e6)
-      }.toDF("source", "registers_used", "hll_estimate")
-
-    val exact = hashed.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("h")).as("exact_distinct"))
-
-    // 20 sources — broadcast join, never a shuffle of the sketch side
-    exact.join(broadcast(estimates), "source")
-      .select("source", "n_docs", "exact_distinct", "registers_used", "hll_estimate")
+        (src, nDocs, exact, present.length.toLong, math.floor(est * 1e6) / 1e6)
+      }.toDF("source", "n_docs", "exact_distinct", "registers_used", "hll_estimate")
   }
 
   /** DuckDB replay of [[hllDistinctPerSource]]: fingerprint fold + mix,

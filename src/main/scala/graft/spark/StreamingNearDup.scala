@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[Dedup.minhashLsh]] emits. */
 final case class DupPair(doc_a: Long, doc_b: Long, matching: Long)
 
-/** One remembered document inside a band bucket's state. */
-final case class SigDoc(id: Long, sig: Seq[Long])
+/** One remembered document inside a band bucket's state (event time in
+  * epoch µs — pairs are age-checked against the dedup horizon). */
+final case class SigDoc(id: Long, sig: Seq[Long], ts_us: Long)
 
 /** State of one (band, band_hash) bucket: the documents seen within the
   * dedup horizon, or a poison marker once the bucket exceeded the hot cap. */
@@ -39,8 +40,11 @@ final case class BucketState(docs: List[SigDoc], poisoned: Boolean)
   *    once the watermark passes their last arrival + horizon, so state is
   *    bounded by the dedup horizon, not stream lifetime — the same
   *    contract as `dropDuplicatesWithinWatermark` in
-  *    [[StreamingExtract.dedupStream]]. A duplicate arriving later than
-  *    the horizon after its original is by design not flagged.
+  *    [[StreamingExtract.dedupStream]]. A duplicate arriving more than
+  *    the horizon after its original is by design not flagged — enforced
+  *    per pair by an event-time age check (not merely by bucket
+  *    eviction, which the watermark can lag), with in-batch pruning of
+  *    entries too old to ever pair again.
   */
 object StreamingNearDup {
 
@@ -80,20 +84,29 @@ object StreamingNearDup {
             val rows = it.toArray.sortBy(r => (r._6, r._3))
             var st = state.getOption.getOrElse(BucketState(Nil, poisoned = false))
             val out = Seq.newBuilder[DupPair]
-            rows.foreach { case (_, _, id, sig, _, _) =>
+            val horizonUs = horizonMs * 1000L
+            rows.foreach { case (_, _, id, sig, _, tsUs) =>
               if (!st.poisoned && !st.docs.exists(_.id == id)) {
                 st.docs.foreach { other =>
-                  var m = 0L
-                  var i = 0
-                  val a = sig; val b = other.sig
-                  val n = math.min(a.length, b.length)
-                  while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
-                  out += (if (id < other.id) DupPair(id, other.id, m)
-                          else DupPair(other.id, id, m))
+                  // the dedup-horizon contract, per pair: watermark lag
+                  // must not let an over-horizon duplicate slip through
+                  if (math.abs(tsUs - other.ts_us) <= horizonUs) {
+                    var m = 0L
+                    var i = 0
+                    val a = sig; val b = other.sig
+                    val n = math.min(a.length, b.length)
+                    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+                    out += (if (id < other.id) DupPair(id, other.id, m)
+                            else DupPair(other.id, id, m))
+                  }
                 }
+                // prune entries too old to pair with anything the
+                // watermark can still admit (one extra horizon of slack
+                // for in-watermark out-of-order arrivals)
+                val kept = st.docs.filter(_.ts_us >= tsUs - 2L * horizonUs)
                 st =
-                  if (st.docs.length + 1 > maxBucket) BucketState(Nil, poisoned = true)
-                  else BucketState(SigDoc(id, sig) :: st.docs, poisoned = false)
+                  if (kept.length + 1 > maxBucket) BucketState(Nil, poisoned = true)
+                  else BucketState(SigDoc(id, sig, tsUs) :: kept, poisoned = false)
               }
             }
             state.update(st)

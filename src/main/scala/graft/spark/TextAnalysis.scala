@@ -173,6 +173,10 @@ object TextAnalysis {
       }.toDF("doc_id", "predicted_lang")
   }
 
+  /** Rabin–Karp base of the document fingerprint fold (shared with the
+    * HLL sketch's document hash — [[Sketches.hllDistinctPerSource]]). */
+  val FingerprintBase = 1000003L
+
   /** Rolling-hash (Rabin–Karp, mod 2^61-1) document fingerprint over
     * words. Deterministic pure function of the text; allocation-free
     * multiply-mod via [[Hash61.mulmod]] (Math.multiplyHigh + Mersenne
@@ -181,10 +185,6 @@ object TextAnalysis {
     * silently wrapped Long for wh ≥ 2^56, so those values were never the
     * documented mod-M function; the correct fold (Hash61Spec pins it
     * against BigInteger) is what the DuckDB oracle now checks. */
-  /** Rabin–Karp base of the document fingerprint fold (shared with the
-    * HLL sketch's document hash — [[Sketches.hllDistinctPerSource]]). */
-  val FingerprintBase = 1000003L
-
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val M = Hash61.M

@@ -87,9 +87,21 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (local, _) = Dedup.ccLabels(spark, ids, pairs.toDF("doc_a", "doc_b"))
     assert(withCkpt.as[(Long, Long)].collect().sorted.toSeq ==
       local.as[(Long, Long)].collect().sorted.toSeq)
-    // the reliable checkpoint actually wrote to the dir
-    assert(new java.io.File(dir).listFiles().nonEmpty,
-      "reliable checkpoint directory was never used")
+    // the reliable checkpoint actually wrote to the dir…
+    def rddDirs(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+          (if (f.getName.startsWith("rdd-")) Seq(f) else Nil) ++ kids.flatMap(walk)
+        } else Nil
+      walk(new java.io.File(dir))
+    }
+    assert(rddDirs().nonEmpty, "reliable checkpoint directory was never used")
+    // …and superseded rounds were DELETED: only the final round's
+    // checkpoint survives (Spark never cleans these up on its own — a
+    // long clustering run would otherwise hold one labels copy per round)
+    assert(rddDirs().size == 1,
+      s"superseded round checkpoints not cleaned: ${rddDirs().map(_.getName)}")
   }
 
   test("non-convergence aborts loudly instead of returning wrong labels") {
