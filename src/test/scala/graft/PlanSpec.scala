@@ -184,6 +184,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected the codegen'd SigMatchCount expression\n" + plan)
   }
 
+  test("length quantiles: corpus collapses map-side into the bounded histogram") {
+    val plan = finalPlan(SparkEntry.queries("length_quantiles")(spark, sfDir))
+    // the groupBy(source, n_chars) histogram is the only pass over the
+    // corpus — it must partial-aggregate before its exchange; everything
+    // after operates on the fixed-size histogram
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "histogram must combine map-side before the exchange\n" + plan)
+  }
+
   test("session stats: window and aggregate share one user_id exchange") {
     val plan = finalPlan(SparkEntry.queries("q_session_stats")(spark, sfDir))
     val exchanges = "Exchange ".r.findAllIn(plan).size
