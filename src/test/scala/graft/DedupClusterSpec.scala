@@ -74,6 +74,22 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every chain node must label to the component min (0)")
   }
 
+  test("round count grows logarithmically: 32k-node chain within 18 rounds") {
+    val s = spark
+    import s.implicits._
+    val n = 32768
+    // 32× the nodes of the previous test must cost ~log2(32) = 5 more
+    // rounds, not 32× — the property that separates pointer doubling
+    // from plain propagation at corpus scale
+    val ids = (0L until n.toLong).toDF("id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.ccLabels(spark, ids, chain, maxIters = 22)
+    assert(rounds <= 18, s"chain of $n took $rounds rounds — growth is not logarithmic")
+    assert(labels.where(org.apache.spark.sql.functions.col("label") =!= 0L)
+      .limit(1).count() == 0,
+      "every chain node must label to the component min (0)")
+  }
+
   test("ccLabels honors a reliable checkpointDir and matches the local path") {
     val s = spark
     import s.implicits._
