@@ -45,6 +45,11 @@ final case class BucketState(docs: List[SigDoc], poisoned: Boolean)
   *    per pair by an event-time age check (not merely by bucket
   *    eviction, which the watermark can lag), with in-batch pruning of
   *    entries too old to ever pair again.
+  *
+  * Configuration contract: `watermarkDelay` ≤ `horizonMs`. The prune
+  * slack (one extra horizon) covers out-of-order arrivals up to one
+  * horizon behind the newest member; a delay admitting older rows than
+  * that could have them miss already-pruned partners.
   */
 object StreamingNearDup {
 
