@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB, "how many distinct documents per domain" cannot be a
   * `count(distinct ...)` — the exact aggregate shuffles every distinct
-  * key. HyperLogLog keeps a fixed 2^p-register state per group that
+  * key. HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007, incl. the
+  * small-range linear-counting correction) keeps a fixed 2^p-register
+  * state per group that
   * merges associatively, so the whole corpus collapses map-side and the
   * exchange carries ≤ groups·m tiny rows. Spark ships
   * `approx_count_distinct` (also HLL), but its hash/state are opaque to
