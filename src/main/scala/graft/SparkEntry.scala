@@ -265,6 +265,7 @@ object SparkEntry {
     // ---- similarity search ----
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiprobeTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(s, dir)),
@@ -1108,6 +1109,7 @@ object SparkEntry {
     // Whole-algorithm SQL replays (OracleGen): LSH planes/buckets and the
     // deterministic Lloyd-trained IVF quantizer, re-ranked exactly.
     "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),
+    "ann_lsh_multiprobe_topk" -> graft.spark.OracleGen.lshTopKSql(multiprobe = true),
     "ann_ivf_topk" -> graft.spark.OracleGen.ivfTopKSql(),
     "ann_pq_topk" -> graft.spark.OracleGen.pqTopKSql(),
     "ann_ivfpq_topk" -> graft.spark.OracleGen.ivfpqTopKSql(),

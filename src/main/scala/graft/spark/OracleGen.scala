@@ -22,10 +22,23 @@ object OracleGen {
       "ORDER BY cosine DESC, corpus_id) AS rn FROM sc) t WHERE rn <= "
 
   /** Replays [[Similarity.lshTopK]]: Hash61-derived hyperplanes, per-band
-    * sign buckets, multi-band candidate union, exact cosine re-rank. */
+    * sign buckets, multi-band candidate union, exact cosine re-rank.
+    * With `multiprobe`, the query side also probes every 1-bit-flip
+    * neighbor of each band bucket ([[Similarity.lshMultiprobeTopK]]). */
   def lshTopKSql(numBands: Int = 4, planesPerBand: Int = 8,
-      k: Int = 5, numQueries: Int = 20): String = {
+      k: Int = 5, numQueries: Int = 20, multiprobe: Boolean = false): String = {
     val numPlanes = numBands * planesPerBand
+    val queryProbes =
+      if (!multiprobe)
+        "qp AS MATERIALIZED (SELECT bk.vec_id, band_idx, bucket " +
+          "FROM bk JOIN q ON bk.vec_id = q.query_id), "
+      else
+        "qp AS MATERIALIZED (" +
+          "SELECT bk.vec_id, band_idx, bucket FROM bk JOIN q ON bk.vec_id = q.query_id " +
+          "UNION ALL " +
+          "SELECT bk.vec_id, band_idx, xor(bucket, (1 << fr.r)::HUGEINT) AS bucket " +
+          "FROM bk JOIN q ON bk.vec_id = q.query_id " +
+          s"CROSS JOIN (SELECT unnest(range(0, $planesPerBand)) AS r) fr), "
     embHead +
       // hyperplane component (p, i): (mix(p·4096+i+1) mod 2001 − 1000)/1000
       ", pl AS MATERIALIZED (SELECT p, list_transform(range(0, (SELECT dim FROM dims)), " +
@@ -36,9 +49,10 @@ object OracleGen {
       s"bk AS MATERIALIZED (SELECT vec_id, CAST(p // $planesPerBand AS INTEGER) AS band_idx, " +
       s"SUM(bit * (1 << (p % $planesPerBand))) AS bucket FROM sb GROUP BY 1, 2), " +
       s"q AS MATERIALIZED (SELECT vec_id AS query_id FROM e ORDER BY vec_id LIMIT $numQueries), " +
-      "cand AS MATERIALIZED (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS corpus_id " +
-      "FROM bk cb JOIN bk qb ON cb.band_idx = qb.band_idx AND cb.bucket = qb.bucket " +
-      "JOIN q ON qb.vec_id = q.query_id WHERE cb.vec_id <> qb.vec_id), " +
+      queryProbes +
+      "cand AS MATERIALIZED (SELECT DISTINCT qp.vec_id AS query_id, cb.vec_id AS corpus_id " +
+      "FROM bk cb JOIN qp ON cb.band_idx = qp.band_idx AND cb.bucket = qp.bucket " +
+      "WHERE cb.vec_id <> qp.vec_id), " +
       "sc AS MATERIALIZED (SELECT c.query_id, c.corpus_id, " +
       "list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm) AS cosine " +
       "FROM cand c JOIN e ce ON ce.vec_id = c.corpus_id " +

@@ -515,10 +515,29 @@ object Similarity {
       numBands, planesPerBand, k)
   }
 
+  /** Multiprobe variant: each QUERY band also probes every 1-bit-flip
+    * neighbor of its sign bucket (Lv et al., "Multi-Probe LSH" — the
+    * deterministic all-single-flips schedule), so a near neighbor on the
+    * wrong side of ONE hyperplane in a band is still found. Recall rises
+    * at the same index size; the extra cost is query-side only
+    * (planesPerBand+1 bucket keys per query band — the corpus side is
+    * untouched, which is what matters at 100 TB where queries are few
+    * and the corpus is not). */
+  def lshMultiprobeTopK(spark: SparkSession, sfDir: String,
+      numBands: Int = 4, planesPerBand: Int = 8,
+      k: Int = 5, numQueries: Int = 20): DataFrame = {
+    import spark.implicits._
+    val emb = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    lshTopKOn(spark, emb, emb.orderBy("vec_id").limit(numQueries),
+      numBands, planesPerBand, k, multiprobe = true)
+  }
+
   /** Dataset-level LSH core (tests plant synthetic near-dups here). */
   def lshTopKOn(spark: SparkSession, emb: Dataset[(Long, Array[Float])],
       queryRows: Dataset[(Long, Array[Float])],
-      numBands: Int, planesPerBand: Int, k: Int): DataFrame = {
+      numBands: Int, planesPerBand: Int, k: Int,
+      multiprobe: Boolean = false): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
 
@@ -526,7 +545,8 @@ object Similarity {
     // Hash61, so each partition derives them from its first vector's
     // length — no driver-side head() job (an extra tiny Spark job per
     // call, VERDICT r2) and no broadcast needed
-    def index(rows: Dataset[(Long, Array[Float])]) = rows.mapPartitions { it =>
+    def index(rows: Dataset[(Long, Array[Float])],
+        probeFlips: Boolean) = rows.mapPartitions { it =>
       var planes: Array[Array[Double]] = null
       it.flatMap { case (id, v) =>
         if (planes == null) planes = lshPlanes(numBands * planesPerBand, v.length)
@@ -534,12 +554,18 @@ object Similarity {
         while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
         val nrm = math.sqrt(n)
         val bks = lshBuckets(planes, numBands, planesPerBand, v)
-        (0 until numBands).iterator.map(b => (b, bks(b), id, v, nrm))
+        (0 until numBands).iterator.flatMap { b =>
+          val base = Iterator.single((b, bks(b), id, v, nrm))
+          if (!probeFlips) base
+          else base ++ (0 until planesPerBand).iterator.map(r =>
+            (b, bks(b) ^ (1L << r), id, v, nrm))
+        }
       }
     }
 
-    val corpus = index(emb).toDF("band_idx", "bucket", "corpus_id", "embedding", "corpus_norm")
-    val queries = index(queryRows)
+    val corpus = index(emb, probeFlips = false)
+      .toDF("band_idx", "bucket", "corpus_id", "embedding", "corpus_norm")
+    val queries = index(queryRows, probeFlips = multiprobe)
       .toDF("band_idx", "bucket", "query_id", "q_embedding", "query_norm")
 
     val scored = corpus.join(broadcast(queries), Seq("band_idx", "bucket"))

@@ -247,6 +247,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       "LSH must be deterministic (fixed Hash61-derived planes)")
   }
 
+  test("multiprobe LSH: recall dominates single-probe at the same index, deterministically") {
+    val exact = topkSet(Similarity.bruteForceTopK(spark, sfDir))
+    val single = topkSet(Similarity.lshTopK(spark, sfDir))
+    val multi1 = topkSet(Similarity.lshMultiprobeTopK(spark, sfDir))
+    val multi2 = topkSet(Similarity.lshMultiprobeTopK(spark, sfDir))
+    assert(multi1 == multi2, "multiprobe must be deterministic (fixed planes, fixed flips)")
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map { q =>
+        (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / exact(q).size
+      }.sum / exact.size
+    val rs = recall(single)
+    val rm = recall(multi1)
+    // probing every 1-bit-flip bucket can only ADD candidates: recall is
+    // monotonically >= single-probe, and on this corpus strictly better
+    assert(rm >= rs, f"multiprobe recall $rm%.3f below single-probe $rs%.3f")
+    assert(rm > rs, f"multiprobe recall $rm%.3f did not improve on $rs%.3f — flips not probing")
+  }
+
   test("embedding nearest-neighbor dedup matches independent brute force") {
     val s = spark
     import s.implicits._
