@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pair emitted across an expired horizon — state not evicted")
   }
 
+  test("streaming near-dup: out-of-order arrival within the watermark still pairs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again today for sure"
+    val t0 = TranscriptGen.FixedEpochMs
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.spark.StreamingNearDup
+      .detect(stream.toDF().toDF("doc_id", "text", "ts"),
+        watermarkDelay = "30 minutes", horizonMs = 3600000L)
+      .writeStream.format("memory").queryName("neardup_ooo")
+      .outputMode("append").start()
+    // batch 1: the original at t0+20min (watermark advances to ~t0-10min)
+    stream.addData(Seq((1L, text, new java.sql.Timestamp(t0 + 20L * 60 * 1000))))
+    q.processAllAvailable()
+    // batch 2: a LATE near-dup with an EARLIER event time (t0+5min) —
+    // still above the watermark, age 15min << horizon ⇒ must pair
+    stream.addData(Seq((2L, text, new java.sql.Timestamp(t0 + 5L * 60 * 1000))))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = s.table("neardup_ooo")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"in-watermark out-of-order duplicate not paired: $pairs")
+  }
+
   test("streaming dedup keeps the first-seen row per digest") {
     val s = spark
     import s.implicits._
