@@ -360,6 +360,32 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"),
           countDistinct(md5(col("text"))).as("n_unique_texts"))
     }),
+    "tfidf_top_terms" -> ((s, dir) => {
+      // per-domain characteristic vocabulary: tf·idf over word counts —
+      // the curation face of "what is this domain about". The explode
+      // collapses into a map-side partial count immediately (same shape
+      // as vocab_topk); df is a tiny per-word aggregate joined broadcast;
+      // the only full exchange carries (source, word) counts. Scores are
+      // floored to 6 decimals and RANKED ON THE FLOORED VALUE so Spark
+      // and the oracle order identically (idf's ln is the one term whose
+      // last ulp is not contractually identical across libm builds).
+      import org.apache.spark.sql.expressions.Window
+      val words = TableIO(s, dir).read("documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      val nSources = TableIO(s, dir).read("documents")
+        .select(countDistinct(col("source")).as("n_sources"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, "word").crossJoin(broadcast(nSources))
+        .withColumn("tfidf", floor(col("tf") *
+          log(col("n_sources").cast("double") / col("df")) * lit(1e6)) / lit(1e6))
+      val w = Window.partitionBy("source")
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 5)
+        .select("source", "rank", "word", "tfidf")
+    }),
     "corpus_rollup" -> ((s, dir) => {
       // multi-grain dashboard in ONE pass: (source, lang), per-source and
       // grand totals via ROLLUP — Catalyst expands the grouping sets and
@@ -871,6 +897,19 @@ object SparkEntry {
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
         "COUNT(DISTINCT md5(text)) AS n_unique_texts " +
         "FROM documents GROUP BY source"),
+    // tf·idf replay: same word model, ln floored to 6 decimals BEFORE the
+    // rank (identical ordering both sides), ties by word
+    "tfidf_top_terms" ->
+      ("WITH w AS MATERIALIZED (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents), " +
+        "tf AS MATERIALIZED (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY 1, 2), " +
+        "df AS MATERIALIZED (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents), " +
+        "sc AS (SELECT tf.source, tf.word, " +
+        "floor(tf.tf * ln(CAST(ns.n_sources AS DOUBLE) / df.df) * 1000000) / 1000000 AS tfidf " +
+        "FROM tf JOIN df USING (word) CROSS JOIN ns) " +
+        "SELECT source, CAST(rn AS INTEGER) AS \"rank\", word, tfidf FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, word) AS rn " +
+        "FROM sc) t WHERE rn <= 5"),
     "corpus_rollup" ->
       ("SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang, " +
         "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
