@@ -174,7 +174,15 @@ object Dedup {
     * `id`, min-hooking only ever lowers them, and every label value is
     * itself an id — so `label(label)` always resolves (inner join is
     * safe). Returns (labels, roundsRun); aborts loudly rather than
-    * returning a silently non-converged labeling. */
+    * returning a silently non-converged labeling. On ANY failure path
+    * (non-convergence abort included) the tracked checkpoint files of
+    * the in-flight round are deleted — repeated failed runs must not
+    * accumulate a labels copy each (ADVICE r3).
+    *
+    * Side effect: `checkpointDir` is installed via
+    * `SparkContext.setCheckpointDir`, which is GLOBAL to the session —
+    * concurrent jobs relying on a different checkpoint dir should not
+    * share the SparkContext with this call. */
   def ccLabels(spark: SparkSession, ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 64, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -214,33 +222,48 @@ object Dedup {
     val edges = pairs.toDF("a", "b")
     val undirected = edges.union(edges.select(col("b"), col("a")))
       .toDF("src", "dst").persist()
-    var labels = snapshotTracked(ids.select(col("id")).withColumn("label", col("id")))
+    var labels: DataFrame = null
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      // hooking: candidate = min(own label, neighbors' labels); carry the
-      // pre-round label so the convergence check below is a scan of the
-      // checkpointed frame, not another join
-      val nbrMin = undirected.join(labels, undirected("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          labels("label").as("old"))
-      // shortcutting: label ← label(label) (pointer doubling)
-      val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
-      val stepped = snapshotTracked(
-        hooked.join(l, hooked("label") === l("lid"))
-          .select(hooked("id"), col("llabel").as("label"), hooked("old")))
-      converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
-      labels = stepped.select("id", "label")
-      iter += 1
+    var returning = false
+    try {
+      labels = snapshotTracked(ids.select(col("id")).withColumn("label", col("id")))
+      while (!converged && iter < maxIters) {
+        // hooking: candidate = min(own label, neighbors' labels); carry the
+        // pre-round label so the convergence check below is a scan of the
+        // checkpointed frame, not another join
+        val nbrMin = undirected.join(labels, undirected("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        // persist: the hooking subtree (the round's expensive join+agg)
+        // feeds BOTH sides of the doubling self-join below — without a
+        // snapshot it would evaluate twice per round unless exchange
+        // reuse happens to dedupe it (ADVICE r3)
+        val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            labels("label").as("old"))
+          .persist()
+        // shortcutting: label ← label(label) (pointer doubling)
+        val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
+        val stepped = snapshotTracked(
+          hooked.join(l, hooked("label") === l("lid"))
+            .select(hooked("id"), col("llabel").as("label"), hooked("old")))
+        hooked.unpersist() // the eager snapshot above materialized it
+        converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
+        labels = stepped.select("id", "label")
+        iter += 1
+      }
+      require(converged,
+        s"connected components did not converge within $maxIters rounds — " +
+          "labels would silently disagree with the transitive-closure oracle")
+      returning = true
+      (labels, iter)
+    } finally {
+      undirected.unpersist()
+      // failure path (exception or the non-convergence abort): the final
+      // round's checkpoint no longer backs anything returned — delete it
+      if (!returning) deleteCk(prevRoundFiles)
     }
-    undirected.unpersist()
-    require(converged,
-      s"connected components did not converge within $maxIters rounds — " +
-        "labels would silently disagree with the transitive-closure oracle")
-    (labels, iter)
   }
 
   /** 60-bit SimHash near-dup detection over the field-valued word hashes:

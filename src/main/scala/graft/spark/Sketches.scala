@@ -30,10 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Per-source HLL distinct-content estimate next to the exact count
-    * (the verifier the estimate is judged against in SketchSpec).
-    * Output: (source, n_docs, exact_distinct, registers_used,
-    * hll_estimate). */
+  /** Per-source HLL distinct-content estimate next to the exact count of
+    * distinct FINGERPRINTS (the verifier the estimate is judged against
+    * in SketchSpec). Caveat in the name (ADVICE r3): the verifier counts
+    * distinct 61-bit word-sequence fingerprints, not distinct document
+    * bytes — a fingerprint collision (or two texts with identical word
+    * splits but different whitespace) undercounts it identically on both
+    * Spark and oracle sides; the byte-exact distinct count lives in
+    * `corpus_stats_by_domain` (md5). Output: (source, n_docs,
+    * distinct_fingerprints, registers_used, hll_estimate). */
   def hllDistinctPerSource(spark: SparkSession, sfDir: String,
       p: Int = 9): DataFrame = {
     import spark.implicits._
@@ -88,7 +93,7 @@ object Sketches {
         // 6-decimal floor: the linear-counting ln is the one term whose
         // last ulp is not contractually identical across libm builds
         (src, nDocs, exact, present.length.toLong, math.floor(est * 1e6) / 1e6)
-      }.toDF("source", "n_docs", "exact_distinct", "registers_used", "hll_estimate")
+      }.toDF("source", "n_docs", "distinct_fingerprints", "registers_used", "hll_estimate")
   }
 
   /** DuckDB replay of [[hllDistinctPerSource]]: fingerprint fold + mix,
@@ -111,11 +116,11 @@ object Sketches {
       "list_reduce(list_prepend(0.0, list(pow(2.0, -rho) ORDER BY register)), (ha_, hb_) -> ha_ + hb_) AS hsum " +
       "FROM rr GROUP BY source), " +
       "ex AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-      "CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM reg GROUP BY source), " +
+      "CAST(count(DISTINCT h) AS BIGINT) AS distinct_fingerprints FROM reg GROUP BY source), " +
       "es AS (SELECT source, registers_used, " +
       s"(0.7213 / (1 + 1.079 / $m)) * $m * $m / (hsum + CAST($m - registers_used AS DOUBLE)) AS raw, " +
       s"CAST($m - registers_used AS BIGINT) AS zeros FROM ag) " +
-      "SELECT ex.source, ex.n_docs, ex.exact_distinct, es.registers_used, " +
+      "SELECT ex.source, ex.n_docs, ex.distinct_fingerprints, es.registers_used, " +
       s"floor((CASE WHEN es.raw <= ${2.5 * m} AND es.zeros > 0 " +
       s"THEN $m * ln(CAST($m AS DOUBLE) / es.zeros) ELSE es.raw END) * 1000000) / 1000000 AS hll_estimate " +
       "FROM ex JOIN es ON es.source = ex.source"

@@ -36,6 +36,14 @@ final case class BucketState(docs: List[SigDoc], poisoned: Boolean)
   *    at stream scale that is the difference between a detector and an
   *    outage). Parity with batch holds exactly for corpora whose buckets
   *    stay under the cap (StreamingSpec pins it on the test corpus).
+  *    ACCEPTED DIVERGENCE from the batch drop (streaming is causal, the
+  *    batch job is not): the first ~`maxBucket` arrivals of a hot bucket
+  *    emit pairs before the cap trips, whereas batch drops the whole
+  *    bucket retroactively. The poison marker is retained as a TOMBSTONE
+  *    for `poisonHoldMs` (4 horizons) past the last arrival before the
+  *    event-time timeout erases it, so a persistently hot bucket
+  *    re-enters the emit-then-poison window at most once per 5 horizons,
+  *    not once per horizon.
   *  - idle buckets leave the store entirely via the event-time timeout
   *    once the watermark passes their last arrival + horizon, so state is
   *    bounded by the dedup horizon, not stream lifetime — the same
@@ -115,10 +123,17 @@ object StreamingNearDup {
               }
             }
             state.update(st)
-            // evict the bucket once the watermark passes its last arrival
-            // + horizon (ms CEILed — a floored timestamp fires early)
-            val lastMs = (rows.map(_._6).max + 999L) / 1000L
-            state.setTimeoutTimestamp(lastMs + horizonMs)
+            // evict the bucket once the watermark passes its NEWEST
+            // member + horizon. The max is over the updated state's docs
+            // as well as this batch: an in-watermark out-of-order batch
+            // must not move the timeout backwards, or a duplicate of the
+            // newest doc arriving inside its per-pair horizon would find
+            // the bucket already evicted (ADVICE r3). ms CEILed — a
+            // floored timestamp fires early. Poisoned tombstones hold 4
+            // extra horizons (see scaladoc).
+            val maxUs = (rows.iterator.map(_._6) ++ st.docs.iterator.map(_.ts_us)).max
+            val holdMs = if (st.poisoned) 4L * horizonMs else 0L
+            state.setTimeoutTimestamp((maxUs + 999L) / 1000L + horizonMs + holdMs)
             out.result().iterator
           }
       }

@@ -30,7 +30,7 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = Sketches.hllDistinctPerSource(spark, dir)
-        .select("source", "exact_distinct", "hll_estimate")
+        .select("source", "distinct_fingerprints", "hll_estimate")
         .as[(String, Long, Double)].collect()
       assert(rows.nonEmpty)
       rows.foreach { case (src, exact, est) =>

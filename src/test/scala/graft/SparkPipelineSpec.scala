@@ -124,13 +124,30 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc would silently break oracle bit-equality.
     val s = spark
     import s.implicits._
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // every SF the driver can run Verify at — sf0.1 included
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => s"/root/testdata/$sf")
+      .filter(d => new java.io.File(d, "documents.parquet").exists())
+    assert(sfs.nonEmpty)
+    for (dir <- sfs) {
       val nonAscii = graft.spark.TableIO(spark, dir).read("documents")
         .where(org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7f]"))
         .count()
       assert(nonAscii == 0, s"$dir has $nonAscii non-ASCII documents — " +
         "word-hash oracles are no longer bit-exact there")
     }
+    // the guard itself must FIRE on non-ASCII input (VERDICT r3 #5): a
+    // planted non-7-bit doc — BMP accent, CJK, and a surrogate-pair
+    // emoji (where UTF-16 charAt and code points truly diverge) — is
+    // caught by the same predicate the corpus scan uses
+    val planted = Seq((1L, "all ascii here"), (2L, "café latte"),
+      (3L, "中文 text"), (4L, "emoji 😀 doc"))
+      .toDF("doc_id", "text")
+    val flagged = planted
+      .where(org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7f]"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(2L, 3L, 4L),
+      s"ASCII guard failed to flag planted non-ASCII docs: got $flagged")
   }
 
   test("TableIO seam: a registered scheme factory is honored by every operator read") {
