@@ -314,6 +314,9 @@ object SparkEntry {
     "quality_signals" -> ((s, dir) => Quality.signals(s, dir)),
     "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
+    // temperature-based mixture reweighting (α=0.5): deterministic
+    // Hash61-threshold acceptance, no RNG — the corpus never shuffles
+    "sample_mixture" -> ((s, dir) => Quality.sampleMixture(s, dir)),
 
     "decontaminate" -> ((s, dir) => Quality.decontaminate(s, dir)),
     // the huge-eval-set scale path: fixed 128 KB Bloom broadcast instead
@@ -824,6 +827,17 @@ object SparkEntry {
         s"regexp_replace(regexp_replace(regexp_replace(payload, '$EmailRe', '<EMAIL>', 'g'), " +
         s"'$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS scrubbed FROM pay"
     },
+    // Temperature mixture sampling: per-source rate sqrt(n_min/n_s)
+    // (IEEE sqrt/division — bit-identical doubles both engines), ppm
+    // floor, Hash61.mix threshold per row.
+    "sample_mixture" ->
+      ("WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source), " +
+        "mn AS (SELECT MIN(n_src) AS n_min FROM c), " +
+        "r AS (SELECT source, CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT) AS threshold_ppm " +
+        "FROM c CROSS JOIN mn), " +
+        s"d AS (SELECT doc_id, source, CAST(${Hash61.mixSql("doc_id::HUGEINT")} % 1000000 AS BIGINT) AS mix_rank FROM documents) " +
+        "SELECT d.doc_id, d.source, d.mix_rank, r.threshold_ppm " +
+        "FROM d JOIN r USING (source) WHERE d.mix_rank < r.threshold_ppm"),
     // Deterministic per-domain quota sample: Hash61.mix rank replayed in
     // HUGEINT, same (rank_key, doc_id) window order.
     "sample_per_domain" ->

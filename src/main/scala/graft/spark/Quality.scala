@@ -296,4 +296,48 @@ object Quality {
       .toDF("doc_id", "source", "rank_key")
     quotaPerDomain(ranked, quota).select("doc_id", "source", "sample_rank")
   }
+
+  /** Temperature-based mixture sampling — the standard data-mixture
+    * reweighting (sample source s with probability ∝ p_s^α, the α<1
+    * "temperature" that flattens dominant domains; cf. multilingual
+    * mBERT/XLM-R exponent-smoothed sampling). Per-source acceptance rate:
+    * with share ∝ n_s^α and the largest feasible overall sample, the
+    * normalizer cancels and a_s = (n_min/n_s)^(1−α) — the SMALLEST source
+    * keeps everything, a source 4× larger keeps half at α=0.5. A row is
+    * kept iff `Hash61.mix(doc_id) % 10^6 < floor(a_s·10^6)` — a
+    * deterministic per-row threshold, NO RNG, so the sample is identical
+    * across runs, partitions, retries, and engines, and composes with
+    * [[quotaPerDomain]] downstream (feed the kept rows in).
+    *
+    * Scale shape: one tiny map-side-combined per-source count, a
+    * broadcast of the ~|sources| rate rows, then a ROW-LOCAL filter — the
+    * corpus itself never shuffles.
+    *
+    * Oracle determinism: at the default α=0.5 the rate is
+    * `sqrt(n_min/n_s)` — IEEE-754 sqrt and division are correctly
+    * rounded, so Spark and DuckDB compute bit-identical doubles and the
+    * ppm floor is exact. Other α go through `pow`, which is not
+    * contractually correctly-rounded across libms (the ppm floor leaves
+    * 1e-6 slack, so disagreement is astronomically unlikely, but the
+    * α=0.5 default is the oracle-checked face). */
+  def sampleMixture(spark: SparkSession, sfDir: String,
+      alpha: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    val docs = TableIO(spark, sfDir).read("documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min(col("n_src")).as("n_min"))
+    val ratio = col("n_min").cast("double") / col("n_src").cast("double")
+    val rateCol =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        floor(rateCol * lit(1e6)).cast("long").as("threshold_ppm"))
+    val ranked = docs.select("doc_id", "source").as[(Long, String)]
+      .map { case (id, src) => (id, src, Hash61.mix(id) % 1000000L) }
+      .toDF("doc_id", "source", "mix_rank")
+    ranked.join(broadcast(rates), "source")
+      .where(col("mix_rank") < col("threshold_ppm"))
+      .select("doc_id", "source", "mix_rank", "threshold_ppm")
+  }
 }

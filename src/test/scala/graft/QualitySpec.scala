@@ -159,4 +159,40 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sample.contains("hashpartitioning(source"), sample)
     assert(sample.contains("pmod"), "skew salt missing from phase-1 key\n" + sample)
   }
+
+  test("mixture sampling: smallest source whole, temperature flattening, deterministic, no corpus shuffle") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val srcCounts = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val nMin = srcCounts.values.min
+    val kept = Quality.sampleMixture(spark, sfDir)
+    val keptCounts = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // the smallest source is kept in full (rate 1.0)
+    val smallest = srcCounts.minBy { case (src, n) => (n, src) }._1
+    assert(keptCounts(smallest) == srcCounts(smallest),
+      s"smallest source $smallest must keep all rows")
+    // flattening: every source's kept count tracks the α=0.5 expectation
+    // n_s·sqrt(n_min/n_s) = sqrt(n_min·n_s) within sampling noise
+    srcCounts.foreach { case (src, n) =>
+      val expect = math.sqrt(nMin.toDouble * n)
+      val got = keptCounts.getOrElse(src, 0L).toDouble
+      val tol = 4 * math.sqrt(expect) + 3 // ~4σ binomial + small-n slack
+      assert(math.abs(got - expect) <= tol,
+        s"$src kept $got, expected ~$expect (n=$n, n_min=$nMin)")
+    }
+    // deterministic: two independent runs produce identical row sets
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Quality.sampleMixture(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "mixture sample must be bit-stable across runs")
+    // plan: the only exchange aggregates the tiny per-source counts; the
+    // corpus itself is filtered behind a broadcast join, never shuffled
+    val plan = finalPlan(Quality.sampleMixture(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "rates must broadcast\n" + plan)
+    assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the join\n" + plan)
+  }
 }
