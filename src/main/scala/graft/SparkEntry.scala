@@ -441,6 +441,15 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_features" -> ((s, dir) => Multimodal.featureStub(s, dir)),
 
+    "shard_manifest" -> ((s, dir) => {
+      // the pipeline's terminal operator: deterministic Hash61 shard
+      // assignment, dynamic-partition-overwrite write through TableIO,
+      // manifest computed FROM THE WRITTEN TABLE (audits the disk state;
+      // retry bit-exactness is pinned in SparkPipelineSpec)
+      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      Shards.write(s, TableIO(s, dir).read("documents"), TableIO(s, out),
+        "shards", numShards = 64)
+    }),
     "dedup_rewrite" -> ((s, dir) => {
       // the dedup APPLIED: keep one representative per content digest
       val docs = TableIO(s, dir).read("documents")
@@ -948,6 +957,22 @@ object SparkEntry {
         "CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS the_count, " +
         "CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS token_count_bpe " +
         "FROM documents"),
+    // Shard manifest replay: same mix-assignment, same per-row
+    // mix(mix(id) xor fingerprint) hash, HUGEINT modular sum per shard.
+    "shard_manifest" -> {
+      val fpFold =
+        "list_reduce(list_prepend(0::HUGEINT, list_transform(" +
+          "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
+          s"w -> ${Hash61.rawWordHashSql("w")})), " +
+          s"(sa_, sb_) -> (sa_ * ${graft.spark.TextAnalysis.FingerprintBase} + sb_) % ${Hash61.M}::HUGEINT)"
+      s"WITH h AS MATERIALIZED (SELECT doc_id, text, " +
+        s"CAST(${Hash61.mixSql("doc_id::HUGEINT")} % 64 AS BIGINT) AS shard, " +
+        s"${Hash61.mixSql(s"xor(${Hash61.mixSql("doc_id::HUGEINT")}, $fpFold)")} AS rh FROM documents) " +
+        "SELECT shard, COUNT(*) AS n_rows, " +
+        "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes, " +
+        s"CAST(SUM(rh::HUGEINT) % ${Hash61.M}::HUGEINT AS BIGINT) AS content_hash " +
+        "FROM h GROUP BY shard"
+    },
     "dedup_rewrite" ->
       ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
         "(SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k " +

@@ -178,6 +178,39 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.spark.TableIO(spark, sfDir).read("documents").count() > 0)
   }
 
+  test("shard writer: retries and re-runs reproduce shards bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def man(io: graft.spark.TableIO): Seq[(Long, Long, Long, Long)] =
+      graft.spark.Shards.write(spark, docs, io, "shards", numShards = 16)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    val rootA = java.nio.file.Files.createTempDirectory("graft-shard-a").toString
+    val a1 = man(graft.spark.TableIO(spark, rootA))
+    assert(a1.nonEmpty && a1.map(_._2).sum == docs.count(),
+      "manifest must account for every row")
+    // full re-run into the SAME root: dynamic overwrite, identical bytes
+    val a2 = man(graft.spark.TableIO(spark, rootA))
+    assert(a1 == a2, "re-run into the same root must reproduce the manifest")
+
+    // crashed-attempt simulation: a partial first write (as if the job
+    // died mid-shard) followed by the real run must converge to the same
+    // manifest as a clean run in a fresh root — the dynamic partition
+    // overwrite replaces every half-written shard wholesale
+    val rootB = java.nio.file.Files.createTempDirectory("graft-shard-b").toString
+    val ioB = graft.spark.TableIO(spark, rootB)
+    graft.spark.Shards.write(spark, docs.limit(7), ioB, "shards", numShards = 16)
+    val b = man(ioB)
+    assert(b == a1, "recovery run must erase the crashed partial attempt")
+
+    // manifest audits the DISK: independent re-aggregation of the written
+    // table matches what write() returned
+    val reread = graft.spark.Shards.manifest(ioB.read("shards"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(reread == a1)
+  }
+
   test("salting balances skewed conversations across buckets") {
     val s = spark
     import s.implicits._
