@@ -257,6 +257,10 @@ object SparkEntry {
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // exact-substring spans (Lee et al. 2022 suffix-array family as
+    // distributed k-gram anchors): planted cross-doc 25-word runs plus
+    // the corpus's natural exact dups must both surface as merged spans
+    "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -666,6 +670,30 @@ object SparkEntry {
         "cl AS (SELECT id, least(id, min(r)) AS cluster FROM rc GROUP BY id) " +
         "SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS cluster_id " +
         "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"),
+    // Exact-substring span replay: same splice plant, same 20-gram
+    // anchors in GF(2^61-1), occurrence count >= 2, gaps-and-islands
+    // merge of overlapping windows.
+    "dedup_substring" -> {
+      val k = 20
+      "WITH wd AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+        "pay AS MATERIALIZED (SELECT d.doc_id, CASE WHEN d.doc_id % 5 = 2 THEN " +
+        "array_to_string(e.ws[1:25], ' ') || ' ' || d.text ELSE d.text END AS payload " +
+        "FROM documents d JOIN wd e ON e.doc_id = d.doc_id % 40), " +
+        "pw AS MATERIALIZED (SELECT doc_id, list_filter(regexp_split_to_array(payload, '\\s+'), w -> w <> '') AS ws FROM pay), " +
+        s"wh AS MATERIALIZED (SELECT doc_id, list_transform(ws, w -> ${Hash61.wordHashSql("w")}) AS whs FROM pw), " +
+        s"gr AS MATERIALIZED (SELECT doc_id, i - 1 AS pos, ${Hash61.shingleNSql("whs", "i", k)} AS gram " +
+        s"FROM wh, unnest(generate_series(1, len(whs) - ${k - 1})) AS t(i) WHERE len(whs) >= $k), " +
+        "dup AS MATERIALIZED (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2), " +
+        "hit AS MATERIALIZED (SELECT doc_id, pos FROM gr JOIN dup USING (gram)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        s"OR pos >= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $k THEN 1 ELSE 0 END AS brk FROM hit), " +
+        "is2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl) " +
+        "SELECT doc_id, CAST(island - 1 AS INTEGER) AS span_idx, " +
+        "CAST(MIN(pos) AS BIGINT) AS start_word, " +
+        s"CAST(MAX(pos) + $k AS BIGINT) AS end_word, " +
+        s"CAST(MAX(pos) + $k - MIN(pos) AS BIGINT) AS n_words " +
+        "FROM is2 GROUP BY doc_id, island"
+    },
     // Exact n-gram Jaccard via the same inverted-index plan: distinct
     // 3-shingles, document-frequency cap, pair-shared counts, Jaccard.
     "dedup_ngram_jaccard" ->

@@ -393,6 +393,84 @@ object Dedup {
         when(col("m.cosine") >= threshold, 1L).otherwise(0L).as("is_dup"))
   }
 
+  /** Exact-substring duplicate spans — the suffix-array dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed in the shapes that distribute: instead of one
+    * monolithic suffix array, every word position anchors a fixed-`k`
+    * word-gram hash; a gram occurring ≥ `minCount` times ANYWHERE in the
+    * corpus (cross-document or self-repeat — Lee et al. drop both) marks
+    * its window duplicated, and per document the overlapping duplicated
+    * windows merge into maximal spans — exactly the spans a suffix-array
+    * scan at threshold `k` finds, because any duplicated span of length
+    * ≥ k is covered by duplicated k-grams at every offset inside it.
+    *
+    * Scale shape: the posting stream is one row per word position
+    * (linear — this family never forms pairs, so no hot-bucket cap is
+    * needed: a boilerplate gram with a billion occurrences contributes a
+    * billion rows, not a billion²); the occurrence count is a map-side-
+    * combined hash aggregate; the membership join back is an equi-join
+    * on the gram hash; the island merge shuffles (doc_id, pos) pairs
+    * once. The gram flatMap runs twice (count + join sides) — two
+    * row-local corpus passes beat materializing a corpus-sized
+    * intermediate.
+    *
+    * Emits (doc_id, span_idx, start_word, end_word, n_words) — spans are
+    * word-indexed [start, end), 0-based, ordered per doc. */
+  def substringSpansOn(spark: SparkSession,
+      docs: org.apache.spark.sql.Dataset[(Long, String)],
+      k: Int = 20, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val grams = docs.flatMap { case (id, text) =>
+      val whs = wordHashes(text)
+      if (whs.length < k) Iterator.empty
+      else (0 to whs.length - k).iterator.map(i =>
+        (id, i.toLong, Hash61.shingleN(whs, i, k)))
+    }.toDF("doc_id", "pos", "gram")
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount).select("gram")
+    val hits = grams.join(dup, "gram").select("doc_id", "pos")
+    // gaps-and-islands: windows [pos, pos+k) merge while they overlap
+    // (pos < prev + k); all windows share one length, so the previous
+    // pos carries the running end
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") >= lag(col("pos"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_word"), (max(col("pos")) + k).as("end_word"))
+      .select(col("doc_id"),
+        (col("island") - 1).cast("int").as("span_idx"),
+        col("start_word"), col("end_word"),
+        (col("end_word") - col("start_word")).as("n_words"))
+  }
+
+  /** Driver face of [[substringSpansOn]] over the `documents` table,
+    * with planted duplication so the operator is non-vacuously oracle-
+    * checked at every SF: documents with doc_id % 5 == 2 get the first
+    * `spanWords` words of document (doc_id % 40) spliced in front — a
+    * ≥k-word run duplicated across documents that the span merge must
+    * recover (the corpus's natural exact-duplicate texts surface as
+    * full-document spans on both sides too). */
+  def substringSpans(spark: SparkSession, sfDir: String,
+      k: Int = 20, spanWords: Int = 25): DataFrame = {
+    import spark.implicits._
+    val docs = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+    val srcSpans: Map[Long, String] = TableIO(spark, sfDir).read("documents")
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"), expr(
+        s"array_join(slice(filter(split(text, ' '), w -> w != ''), 1, $spanWords), ' ')").as("span"))
+      .as[(Long, String)].collect().toMap
+    val bcSpans = spark.sparkContext.broadcast(srcSpans)
+    substringSpansOn(spark, docs.map { case (id, text) =>
+      (id, if (id % 5 == 2) bcSpans.value(id % 40) + " " + text else text)
+    }, k)
+  }
+
   /** Exact n-gram Jaccard via an inverted index: explode distinct gram
     * hashes, drop hot grams (stopword-like shingles shared by a large
     * corpus fraction — they only generate noise pairs), self-join on the

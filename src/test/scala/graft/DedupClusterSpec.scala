@@ -128,5 +128,19 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Dedup.ccLabels(spark, ids, chain, maxIters = 1)
     }
+    // failure paths must not leak reliable checkpoints (ADVICE r3): after
+    // the abort, the in-flight round's files are gone
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-fail").toString
+    intercept[IllegalArgumentException] {
+      Dedup.ccLabels(spark, ids, chain, maxIters = 1, checkpointDir = Some(dir))
+    }
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        (if (f.getName.startsWith("rdd-")) Seq(f) else Nil) ++
+          kids.flatMap(rddDirs)
+      } else Nil
+    assert(rddDirs(new java.io.File(dir)).isEmpty,
+      "aborted run left checkpoint files behind")
   }
 }
