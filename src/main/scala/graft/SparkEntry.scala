@@ -262,6 +262,11 @@ object SparkEntry {
     // the corpus's natural exact dups must both surface as merged spans
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    // the streaming detector driver-verified: a real micro-batched replay
+    // through flatMapGroupsWithState; oracle = batch LSH pairs restricted
+    // to the synthetic event-time horizon (classes 3 steps apart must NOT
+    // pair) — closes the one operator family without a CORRECTNESS row
+    "streaming_neardup" -> ((s, dir) => StreamingNearDup.replay(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
@@ -556,10 +561,14 @@ object SparkEntry {
       "FROM ch WHERE blk > 0 GROUP BY doc_id) "
 
   /** MinHash signature/banding CTE chain (through the capped `bf`
-    * relation) — shared by the pair oracle and the cluster oracle. */
-  private def minhashCtes: String = {
+    * relation) — shared by the pair oracle, the cluster oracle, and the
+    * streaming replay oracle (which passes its planted-union relation
+    * as `src`). */
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  private def minhashCtesFrom(src: String): String = {
     import graft.spark.Hash61
-    wordHashCte +
+    wordHashCteFrom(src) +
       ", sh AS (SELECT doc_id, list_transform(range(1, len(whs) - 1), " +
       s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")}) AS shs " +
       "FROM wdocs WHERE len(whs) >= 3), " +
@@ -578,11 +587,13 @@ object SparkEntry {
   /** Per-doc word-hash lists in GF(2^61-1) — the shared head of every
     * signature-kernel oracle (minhash/simhash/jaccard), replaying
     * [[graft.spark.Hash61.wordHash]] exactly in HUGEINT. */
-  private def wordHashCte: String = {
+  private def wordHashCte: String = wordHashCteFrom("documents")
+
+  private def wordHashCteFrom(src: String): String = {
     import graft.spark.Hash61
     "WITH wdocs AS (SELECT doc_id, list_transform(" +
       "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
-      s"w -> ${Hash61.wordHashSql("w")}) AS whs FROM documents)"
+      s"w -> ${Hash61.wordHashSql("w")}) AS whs FROM $src)"
   }
 
   /** CTE chain replaying [[graft.spark.Quality.computeSignals]] over
@@ -655,6 +666,24 @@ object SparkEntry {
         "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
         "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
         "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id"),
+    // Streaming replay: the batch pair SQL over the planted union
+    // (verbatim clones of id % 50 == 0 docs at id + 500000, arriving in
+    // the last event class), restricted by the replay's event-time ages
+    // — ts(doc) = t0 + class·30 min with class = 3 for clones else
+    // doc_id % 4, horizon 1 h, so pairs survive iff the classes differ
+    // by ≤ 2 steps. The class-0→clone pairs (90 min apart, 16/16
+    // matching) are the horizon predicate's non-vacuous kill set.
+    "streaming_neardup" -> {
+      val cls = (x: String) => s"(CASE WHEN $x >= 500000 THEN 3 ELSE $x % 4 END)"
+      minhashCtesFrom("u").replaceFirst("WITH ",
+        "WITH u AS MATERIALIZED (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0), ") +
+        "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
+        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
+        "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id " +
+        s"WHERE abs(${cls("a.doc_id")} - ${cls("b2.doc_id")}) <= 2"
+    },
     // Connected components of the same pair graph: recursive transitive
     // closure, cluster = min reachable id (the unique fixpoint the
     // iterative Spark propagation also lands on).

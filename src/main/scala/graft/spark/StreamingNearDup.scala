@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One emitted near-dup candidate pair (doc_a < doc_b), with the number
@@ -60,6 +60,62 @@ final case class BucketState(docs: List[SigDoc], poisoned: Boolean)
   * that could have them miss already-pruned partners.
   */
 object StreamingNearDup {
+
+  /** Driver-verification REPLAY face (VERDICT r3 #3): run the documents
+    * table through [[detect]] as a real micro-batched stream and return
+    * the emitted pair set as a batch DataFrame, so the streaming
+    * operator gets a DuckDB oracle row like every other family. Event
+    * times are synthetic but horizon-exercising: doc_id % `modClasses`
+    * spaces arrivals `stepMs` apart, so with the default 1 h horizon the
+    * classes 3 steps apart (90 min) must NOT pair while everything ≤ 2
+    * steps must — the oracle is the batch LSH pair SQL restricted by
+    * exactly that age predicate. One event-time-ordered micro-batch per
+    * class pins cross-batch pairing.
+    *
+    * The horizon is made NON-VACUOUS by planting: every doc with
+    * doc_id % 50 == 0 gets a verbatim CLONE at id + 500000 arriving in
+    * the last class — clones of class-0 sources sit 3 steps (90 min)
+    * away and their all-16-matching pair MUST be suppressed; clones of
+    * class-2 sources sit 1 step away and MUST pair across micro-batches.
+    *
+    * This is a replay HARNESS, not the production entry point (that is
+    * [[detect]] on a live `readStream`): the corpus is collected to the
+    * driver only because MemoryStream is driver-fed; the stateful
+    * operator under test still runs distributed. Parity with the batch
+    * band join additionally needs every band bucket under `maxBucket`
+    * (streaming caps causally, batch retroactively — see the class
+    * scaladoc); the driver corpora measure ≤ 4 per bucket. */
+  def replay(spark: SparkSession, sfDir: String,
+      modClasses: Int = 4, stepMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = TranscriptGen.FixedEpochMs
+    def cls(id: Long): Long = if (id >= 500000L) modClasses - 1L else id % modClasses
+    val base = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val planted = base.filter(_._1 % 50 == 0)
+      .map { case (id, text) => (id + 500000L, text) }
+    val rows = (base ++ planted)
+      .map { case (id, text) =>
+        (id, text, new java.sql.Timestamp(t0 + cls(id) * stepMs))
+      }.toSeq
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val name = "neardup_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = detect(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      (0 until modClasses).foreach { c =>
+        stream.addData(rows.filter(r => cls(r._1) == c))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // per-band re-emissions collapse, same as the batch face's distinct
+    spark.table(name).select("doc_a", "doc_b", "matching").distinct()
+  }
 
   /** docs: streaming DataFrame with (doc_id: Long, text: String,
     * ts: Timestamp). Emits candidate pairs in append mode. */
