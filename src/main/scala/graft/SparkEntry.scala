@@ -433,6 +433,11 @@ object SparkEntry {
 
     // ---- text analysis ----
     "text_metrics" -> ((s, dir) => TextAnalysis.metrics(s, dir)),
+    // BPE training: distributed word count → bounded top-256 vocab →
+    // driver merge loop (the Lloyd-training pattern); full SQL replay
+    "bpe_merges" -> ((s, dir) => Bpe.trainMerges(s, dir)),
+    // the trained tokenizer APPLIED: broadcast merges, row-local count
+    "bpe_token_counts" -> ((s, dir) => Bpe.tokenCounts(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_classes" -> ((s, dir) => TextAnalysis.langIdClasses(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
@@ -1006,6 +1011,12 @@ object SparkEntry {
         "CAST(MIN(CASE WHEN cum >= ceil(0.9 * total) THEN n_chars END) AS BIGINT) AS p90, " +
         "CAST(MIN(CASE WHEN cum >= ceil(0.99 * total) THEN n_chars END) AS BIGINT) AS p99 " +
         "FROM t GROUP BY source"),
+    // Full BPE-training replay: 32 chained pair-count/argmax/rewrite
+    // rounds over the top-256 weighted vocab (Bpe.mergesSql), and the
+    // trained merges applied to every document via the distinct-word
+    // dictionary (Bpe.tokenCountsSql).
+    "bpe_merges" -> graft.spark.Bpe.mergesSql(),
+    "bpe_token_counts" -> graft.spark.Bpe.tokenCountsSql(),
     "text_metrics" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words, " +
