@@ -300,6 +300,19 @@ object SparkEntry {
         .where(col("is_dup") === 1)
     }),
     "dedup_embedding_nn_exact" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // SemDeDup (Abbas et al. 2023): cluster-then-within-cluster pair
+    // scan on the fully-planted union — the cluster bound (not a probe
+    // list) is what caps the pair count at web scale
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val emb = TableIO(s, dir).read("embeddings")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val plants = emb.map { case (id, v) =>
+        (id + 100000L,
+          v.zipWithIndex.map { case (x, j) => if (j % 9 == 0) x * 0.5f else x })
+      }
+      Dedup.semanticOn(s, emb.union(plants))
+    }),
     "dedup_embedding_nn_probe" -> ((s, dir) => {
       // The SUBLINEAR path (nprobe=6 of 16 cells) driver-verified: plant
       // a near-duplicate of each of the first 500 vectors (halve every
@@ -1252,6 +1265,9 @@ object SparkEntry {
         "(PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn FROM s) t WHERE rn = 1) " +
         "SELECT vec_id, nn_id, cosine, CAST(1 AS BIGINT) AS is_dup " +
         "FROM bst WHERE cosine >= 0.95"),
+    // SemDeDup: full Lloyd training + cell assignment + within-cell
+    // pair scan replayed over the planted union (OracleGen).
+    "dedup_semantic" -> graft.spark.OracleGen.semanticDedupSql(),
     // Whole-algorithm SQL replays (OracleGen): LSH planes/buckets and the
     // deterministic Lloyd-trained IVF quantizer, re-ranked exactly.
     "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),

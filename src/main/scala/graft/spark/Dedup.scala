@@ -393,6 +393,62 @@ object Dedup {
         when(col("m.cosine") >= threshold, 1L).otherwise(0L).as("is_dup"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-Efficient Learning at
+    * Web-Scale through Semantic Deduplication"): k-means-cluster the
+    * embedding space, then look for near-duplicate pairs ONLY within a
+    * cluster — the cluster bound is what makes semantic dedup tractable
+    * at web scale: within-cluster pair count is Σ n_c², not n², and
+    * `numCentroids` grows with the corpus (the paper uses tens of
+    * thousands of clusters at web scale) so cells stay partition-sized.
+    * One-pass keep-lowest-id variant: a vector is DROPPED when a
+    * lower-id vector in its cell has cosine ≥ `threshold`; the reported
+    * `kept_id` is the smallest such partner (deterministic, no RNG —
+    * the paper keeps a random exemplar per duplicate group).
+    *
+    * Scale shape: quantizer trained on a bounded sample
+    * ([[Similarity.trainQuantizer]], collect ≤ `sampleCap`), centroids
+    * broadcast, cell assignment row-local; the only exchange is the
+    * within-cell self-join (equi-join on `cell`, AQE splits skewed
+    * cells). Boundary caveat inherited from the paper: a cross-cell
+    * near-dup pair is invisible by design (recall is bounded by the
+    * clustering); [[embeddingNearDupOn]] with nprobe > 1 is the face
+    * that trades more candidate cells for recall.
+    *
+    * Emits (vec_id, kept_id, cell, cosine) — one row per dropped
+    * vector. Oracle: [[OracleGen.semanticDedupSql]] replays training,
+    * assignment, and the pair scan bit-exactly. */
+  def semanticOn(spark: SparkSession,
+      emb: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      threshold: Double = 0.95, numCentroids: Int = 16,
+      lloydIters: Int = 5, sampleCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val q = Similarity.trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
+    val bcQ = spark.sparkContext.broadcast(q)
+    val cells = emb.map { case (id, v) =>
+      var n = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+      (bcQ.value.nearest(v), id, v, math.sqrt(n))
+    }.toDF("cell", "vec_id", "embedding", "nrm")
+
+    val lo = cells.select(col("cell"), col("vec_id").as("ka"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val hi = cells.select(col("cell"), col("vec_id").as("kb"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dotF = call_function("dot_f64", col("a_emb"), col("b_emb"))
+    lo.join(hi, Seq("cell"))
+      .where(col("ka") < col("kb"))
+      .select(col("cell"), col("ka"), col("kb"),
+        (dotF / (col("a_nrm") * col("b_nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+      // smallest keeper per dropped vector: ka is unique within the
+      // group, so the lexicographic struct min is min-by-ka
+      .groupBy(col("kb"))
+      .agg(min(struct(col("ka"), col("cosine"), col("cell"))).as("m"))
+      .select(col("kb").as("vec_id"), col("m.ka").as("kept_id"),
+        col("m.cell").as("cell"), col("m.cosine").as("cosine"))
+  }
+
   /** Exact-substring duplicate spans — the suffix-array dedup of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") re-expressed in the shapes that distribute: instead of one

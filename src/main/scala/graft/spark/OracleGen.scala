@@ -286,6 +286,33 @@ object OracleGen {
     sb.toString
   }
 
+  /** Replays [[Dedup.semanticOn]] over the fully-planted union corpus
+    * (every vector gets a near-dup at vec_id + 100000 with every 9th
+    * dim halved — an exponent-only float op, exact in float AND double,
+    * so both engines see identical vectors): full Lloyd training over
+    * the union, cell assignment, within-cell a<b pair scan at
+    * `threshold`, keep-lowest-id winner per dropped vector. */
+  def semanticDedupSql(numCentroids: Int = 16, lloydIters: Int = 5,
+      threshold: Double = 0.95): String = {
+    val sb = new StringBuilder(
+      "WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "pl AS MATERIALIZED (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(range(1, len(v) + 1), j -> CASE WHEN (j - 1) % 9 = 0 " +
+        "THEN v[j] * 0.5 ELSE v[j] END) AS v FROM e0), " +
+        "e AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
+        "FROM (SELECT * FROM e0 UNION ALL SELECT * FROM pl)), " +
+        "dims AS MATERIALIZED (SELECT max(len(v)) AS dim FROM e)")
+    sb.append(coarseCtes(numCentroids, lloydIters))
+    sb.append(", prs AS MATERIALIZED (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
+      "a.cell AS cell, list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine " +
+      "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      "JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id) ")
+    sb.append("SELECT kb AS vec_id, ka AS kept_id, CAST(cell AS INTEGER) AS cell, cosine " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn " +
+      s"FROM prs WHERE cosine >= $threshold) t WHERE rn = 1")
+    sb.toString
+  }
+
   def ivfTopKSql(numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
       numQueries: Int = 20, lloydIters: Int = 5): String = {
     val sb = new StringBuilder(embHead)

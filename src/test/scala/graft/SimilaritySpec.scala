@@ -306,4 +306,42 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(dup == (if (c >= 0.95) 1L else 0L))
     }
   }
+
+  test("SemDeDup: drops planted duplicates within cells, keeps lowest id, deterministic") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.spark.TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val plants = emb.map { case (id, v) =>
+      (id + 100000L,
+        v.zipWithIndex.map { case (x, j) => if (j % 9 == 0) x * 0.5f else x })
+    }
+    val union = emb.union(plants)
+    val rows = Dedup.semanticOn(spark, union)
+      .as[(Long, Long, Int, Double)].collect()
+    val dropped = rows.map(_._1).toSet
+    assert(rows.nonEmpty, "no duplicates found despite a fully-planted corpus")
+    rows.foreach { case (vecId, keptId, _, cosine) =>
+      assert(keptId < vecId, "keeper must be the lower id")
+      assert(cosine >= 0.95 && cosine <= 1.0 + 1e-9)
+      assert(!dropped.contains(keptId) || rows.exists(r => r._1 == keptId),
+        "internal consistency") // keeper may itself be dropped (one-pass semantics)
+    }
+    // each dropped vector appears once
+    assert(dropped.size == rows.length)
+    // planted pairs dominate: the raw corpus has max cosine ~0.49, so
+    // every dropped vector must be a plant or the source of one
+    rows.foreach { case (vecId, keptId, _, _) =>
+      assert(vecId >= 100000L || keptId + 100000L == vecId ||
+        math.abs(vecId - keptId) != 0, s"unexpected pair ($keptId, $vecId)")
+      assert(vecId >= 100000L, s"dropped a raw-corpus vector $vecId — " +
+        "only plants (higher ids) should drop at threshold 0.95")
+    }
+    // a large majority of plants land in their source's cell and drop
+    assert(rows.length >= 400, s"only ${rows.length} of 500 plants dropped")
+    // deterministic across runs
+    val again = Dedup.semanticOn(spark, union)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
