@@ -339,6 +339,15 @@ object SparkEntry {
     // temperature-based mixture reweighting (α=0.5): deterministic
     // Hash61-threshold acceptance, no RNG — the corpus never shuffles
     "sample_mixture" -> ((s, dir) => Quality.sampleMixture(s, dir)),
+    // DSIR hashed-unigram importance weights (Xie et al. 2023): O(B)
+    // model broadcast, scoring pass row-local — the corpus never shuffles
+    "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
+    // CCNet-style LM scoring: add-one bigram model trained on the fly;
+    // all float work floored to integer micro-nats before aggregation
+    "quality_perplexity" -> ((s, dir) => Curation.perplexity(s, dir)),
+    // GPT-style concat-and-chunk packing, defined per shard (the global
+    // order a monolithic packer needs is what doesn't scale)
+    "pack_sequences" -> ((s, dir) => Shards.packSequences(s, dir)),
 
     "decontaminate" -> ((s, dir) => Quality.decontaminate(s, dir)),
     // the huge-eval-set scale path: fixed 128 KB Bloom broadcast instead
@@ -922,6 +931,14 @@ object SparkEntry {
         s"d AS (SELECT doc_id, source, CAST(${Hash61.mixSql("doc_id::HUGEINT")} % 1000000 AS BIGINT) AS mix_rank FROM documents) " +
         "SELECT d.doc_id, d.source, d.mix_rank, r.threshold_ppm " +
         "FROM d JOIN r USING (source) WHERE d.mix_rank < r.threshold_ppm"),
+    // DSIR replay: same Hash61 bucket, add-one ratio, ln floored to
+    // integer micro-nats per bucket before the per-document sum.
+    "dsir_weights" -> graft.spark.Curation.dsirWeightsSql(),
+    // Bigram-LM replay: word-hash stream, 2-shingle keys, per-position
+    // micro-nat floor, integer sums.
+    "quality_perplexity" -> graft.spark.Curation.perplexitySql(),
+    // Packing replay: mix-assignment + per-shard integer running sum.
+    "pack_sequences" -> graft.spark.Shards.packSequencesSql(),
     // Deterministic per-domain quota sample: Hash61.mix rank replayed in
     // HUGEINT, same (rank_key, doc_id) window order.
     "sample_per_domain" ->

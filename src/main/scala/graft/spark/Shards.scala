@@ -1,6 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -77,4 +78,65 @@ object Shards {
         // row count (2^61·2^33 ≈ 10^28) — one mod at the end is exact
         (sum(col("row_hash").cast(DecimalType(38, 0))) % lit(Hash61.M))
           .cast("long").as("content_hash"))
+
+  /** Concat-and-chunk sequence packing — the GPT-style pre-training
+    * layout: within each shard, documents concatenate in `doc_id` order
+    * into one token stream that is cut into fixed-`seqLen` training
+    * sequences; a document whose tokens straddle a cut is a boundary
+    * crosser (the fraction the trainer's attention-mask / doc-boundary
+    * handling has to care about). Token count is the whitespace word
+    * model shared with the quality/dedup family.
+    *
+    * Packing is defined WITHIN a shard, never globally — the global
+    * order a monolithic packer needs is exactly what doesn't scale, and
+    * [[write]]'s hash assignment already makes shards the reproducible
+    * unit. Scale shape: assignment + token count are row-local; one
+    * exchange clusters by shard; the running sum is a window per shard
+    * (a sort within the shard's partition — shard count grows with the
+    * corpus, so the sorted run stays bounded). Deterministic: position
+    * is a pure function of (doc_id set, seqLen), independent of
+    * parallelism, retries, and arrival order.
+    *
+    * Emits one row per document: (shard, doc_id, n_tokens, start_tok,
+    * seq_first, seq_last, crosses). */
+  def packSequences(spark: SparkSession, sfDir: String,
+      numShards: Int = 8, seqLen: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(seqLen > 0 && numShards > 0)
+    val toks = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        (Hash61.mix(id) % numShards, id,
+          text.split(" ").count(_.nonEmpty).toLong)
+      }
+      .toDF("shard", "doc_id", "n_tokens")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        ((col("end_tok") - col("n_tokens")) / seqLen).cast("long").as("seq_first"),
+        (greatest(col("end_tok") - 1, col("end_tok") - col("n_tokens")) / seqLen)
+          .cast("long").as("seq_last"))
+      .withColumn("crosses",
+        (col("seq_first") =!= col("seq_last")).cast("long"))
+  }
+
+  /** SQL replay of [[packSequences]]: same mix-assignment, same word
+    * model, same per-shard running sum (integer window — order-free
+    * given the unique doc_id sort key). */
+  def packSequencesSql(numShards: Int = 8, seqLen: Int = 64): String =
+    s"WITH t AS (SELECT CAST(${Hash61.mixSql("doc_id::HUGEINT")} % $numShards AS BIGINT) AS shard, " +
+      "doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " +
+      "c AS (SELECT shard, doc_id, n_tokens, " +
+      "SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok FROM t) " +
+      "SELECT shard, doc_id, n_tokens, " +
+      "CAST(end_tok - n_tokens AS BIGINT) AS start_tok, " +
+      s"CAST((end_tok - n_tokens) // $seqLen AS BIGINT) AS seq_first, " +
+      s"CAST(greatest(end_tok - 1, end_tok - n_tokens) // $seqLen AS BIGINT) AS seq_last, " +
+      s"CAST(CASE WHEN (end_tok - n_tokens) // $seqLen <> " +
+      s"greatest(end_tok - 1, end_tok - n_tokens) // $seqLen THEN 1 ELSE 0 END AS BIGINT) AS crosses " +
+      "FROM c"
 }
