@@ -262,6 +262,10 @@ object SparkEntry {
     // the corpus's natural exact dups must both surface as merged spans
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    // recurring-crawl shape: the new slice dedupes against the index and
+    // itself; old-old pairs are never recomputed (the full-corpus
+    // re-banding a weekly 100 TB increment cannot afford)
+    "dedup_incremental" -> ((s, dir) => Dedup.incremental(s, dir)),
     // the streaming detector driver-verified: a real micro-batched replay
     // through flatMapGroupsWithState; oracle = batch LSH pairs restricted
     // to the synthetic event-time horizon (classes 3 steps apart must NOT
@@ -469,6 +473,17 @@ object SparkEntry {
     // merges map-side — the cardinality shape that works at 100 TB where
     // count(distinct) cannot (Sketches scaladoc); exact count alongside
     "corpus_hll_distinct" -> ((s, dir) => Sketches.hllDistinctPerSource(s, dir)),
+    // frequency twin of the HLL sketch: fixed d×w counter matrix, exact
+    // second pass over the sketch's candidates only (overestimate-safe)
+    "cms_heavyhitters" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
+    // per-source unigram KL(new‖old) drift gate between snapshot slices
+    "corpus_kl_drift" -> ((s, dir) => Curation.klDrift(s, dir)),
+    // BM25 top-k retrieval: broadcast query terms probe the inverted
+    // index; floor-then-rank keeps the order engine-identical
+    "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir)),
+    // row-local hash-threshold train/val/test assignment (zero shuffle,
+    // append-stable — per-source ntile windows can promise neither)
+    "split_assign" -> ((s, dir) => Shards.splitAssign(s, dir)),
 
     // ---- multimodal plumbing (stubbed codecs; Spark plumbing real) ----
     "multimodal_decode" -> ((s, dir) => Multimodal.decodeStub(s, dir)),
@@ -693,6 +708,16 @@ object SparkEntry {
         "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
         "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
         "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id"),
+    // Incremental face: the same pair SQL restricted to pairs touching
+    // the new slice (mix(doc_id) % 5 == 0) — old-old pairs excluded.
+    "dedup_incremental" ->
+      (minhashCtes +
+        "SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, " +
+        "CAST(len(list_filter(range(1, 17), i -> a.sig[i] = b2.sig[i])) AS BIGINT) AS matching " +
+        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
+        "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id " +
+        s"WHERE ${graft.spark.Hash61.mixSql("a.doc_id::HUGEINT")} % 5 = 0 " +
+        s"OR ${graft.spark.Hash61.mixSql("b2.doc_id::HUGEINT")} % 5 = 0"),
     // Streaming replay: the batch pair SQL over the planted union
     // (verbatim clones of id % 50 == 0 docs at id + 500000, arriving in
     // the last event class), restricted by the replay's event-time ages
@@ -939,6 +964,14 @@ object SparkEntry {
     "quality_perplexity" -> graft.spark.Curation.perplexitySql(),
     // Packing replay: mix-assignment + per-shard integer running sum.
     "pack_sequences" -> graft.spark.Shards.packSequencesSql(),
+    // KL-drift replay: same slice predicate, same bucket model, pn/po
+    // bound once, per-bucket micro-nat floor before the integer sum.
+    "corpus_kl_drift" -> graft.spark.Curation.klDriftSql(),
+    // BM25 replay: same query VALUES, per-(term,doc) micro-unit floor
+    // before the per-doc sum, same (score desc, doc_id) rank.
+    "bm25_topk" -> graft.spark.Retrieval.bm25TopKSql(),
+    // Split replay: salted double-mix rank in HUGEINT, same thresholds.
+    "split_assign" -> graft.spark.Shards.splitAssignSql(),
     // Deterministic per-domain quota sample: Hash61.mix rank replayed in
     // HUGEINT, same (rank_key, doc_id) window order.
     "sample_per_domain" ->
@@ -1145,6 +1178,8 @@ object SparkEntry {
     // full HLL replay: fingerprint hash, registers, max-rho, ordered
     // harmonic fold, same estimator constants and 6-decimal floor
     "corpus_hll_distinct" -> graft.spark.Sketches.hllDistinctSql(),
+    // CMS replay: same seeds/coordinates, min-over-rows, candidate gate.
+    "cms_heavyhitters" -> graft.spark.Sketches.cmsHeavyHittersSql(),
     // decode-stub features are closed-form in (doc_id, text): the media
     // body is the UTF-8 of the ASCII text column, so the byte checksum is
     // a character-code fold.

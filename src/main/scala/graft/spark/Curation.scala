@@ -126,6 +126,70 @@ object Curation {
       "FROM wd LEFT JOIN ds ON ds.doc_id = wd.doc_id"
   }
 
+  /** Distribution-drift monitor between corpus snapshots: per-source
+    * KL(new ‖ old) over hashed unigram buckets, where "new" is the
+    * deterministic slice `Hash61.mix(doc_id) % newMod == 0` (standing in
+    * for this increment's crawl — in production the two sides are two
+    * snapshot reads of the same table). The pipeline gate this feeds:
+    * a source whose incoming token distribution drifts (spam flood,
+    * template change, scraper breakage) should fail loudly BEFORE its
+    * documents reach training shards.
+    *
+    * Same O(B) hashed model as [[dsirWeights]], same add-λ smoothing,
+    * same micro-nat floor per bucket term before the integer sum. The
+    * sum runs over OCCUPIED buckets only (identical set on both
+    * engines); empty buckets' λ-only terms are excluded by construction.
+    * Scale shape: one map-side-combined (source, bucket) aggregate — the
+    * exchange carries ≤ sources·B rows — then a per-source fold; the
+    * corpus never shuffles.
+    *
+    * Emits (source, n_new_tokens, n_old_tokens, kl_unats). */
+  def klDrift(spark: SparkSession, sfDir: String,
+      numBuckets: Int = 256, newMod: Int = 4): DataFrame = {
+    import spark.implicits._
+    val nb = numBuckets
+    val occ = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        val isNew = if (Hash61.mix(id) % newMod == 0) 1L else 0L
+        text.split(" ").iterator.filter(_.nonEmpty)
+          .map(w => (src, (Hash61.wordHash(w) % nb).toInt, isNew))
+      }.toDF("source", "bucket", "is_new")
+    val bk = occ.groupBy("source", "bucket")
+      .agg(sum(col("is_new")).as("cn"), sum(lit(1L) - col("is_new")).as("co"))
+    val tot = bk.groupBy("source")
+      .agg(sum(col("cn")).as("tn"), sum(col("co")).as("tl"))
+    val lamB = Lambda * numBuckets
+    bk.join(tot, "source")
+      .withColumn("pn", (col("cn") + Lambda) / (col("tn") + lamB))
+      .withColumn("po", (col("co") + Lambda) / (col("tl") + lamB))
+      .withColumn("term",
+        floor(col("pn") * log(col("pn") / col("po")) * lit(1e6)).cast("long"))
+      .groupBy("source")
+      .agg(max(col("tn")).as("n_new_tokens"), max(col("tl")).as("n_old_tokens"),
+        sum(col("term")).as("kl_unats"))
+  }
+
+  /** SQL replay of [[klDrift]]: same slice predicate, same bucket model,
+    * pn/po bound as CTE columns so both engines reuse one double value,
+    * same per-bucket micro-nat floor. */
+  def klDriftSql(numBuckets: Int = 256, newMod: Int = 4): String = {
+    val wh = Hash61.wordHashSql("uw_")
+    val lamB = Lambda * numBuckets
+    "WITH pos AS MATERIALIZED (SELECT source, " +
+      s"CAST($wh % $numBuckets AS INTEGER) AS bucket, " +
+      s"CASE WHEN ${Hash61.mixSql("doc_id::HUGEINT")} % $newMod = 0 THEN 1 ELSE 0 END AS is_new " +
+      "FROM (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS uw_ FROM documents)), " +
+      "bk AS MATERIALIZED (SELECT source, bucket, SUM(is_new) AS cn, SUM(1 - is_new) AS co FROM pos GROUP BY 1, 2), " +
+      "tot AS (SELECT source, SUM(cn) AS tn, SUM(co) AS tl FROM bk GROUP BY 1), " +
+      s"tm AS (SELECT bk.source, tn, tl, ((cn::DOUBLE + $Lambda) / (tn::DOUBLE + $lamB)) AS pn, " +
+      s"((co::DOUBLE + $Lambda) / (tl::DOUBLE + $lamB)) AS po " +
+      "FROM bk JOIN tot ON tot.source = bk.source) " +
+      "SELECT source, CAST(MAX(tn) AS BIGINT) AS n_new_tokens, CAST(MAX(tl) AS BIGINT) AS n_old_tokens, " +
+      "CAST(SUM(CAST(floor(pn * ln(pn / po) * 1000000) AS BIGINT)) AS BIGINT) AS kl_unats " +
+      "FROM tm GROUP BY source"
+  }
+
   /** CCNet-style LM scoring: per-document negative log-likelihood in
     * micro-nats under an add-one word-bigram model trained on the corpus
     * itself, `p(w2|w1) = (c(w1,w2)+1) / (cctx(w1)+V)` with `cctx(w1)` =

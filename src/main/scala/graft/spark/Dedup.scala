@@ -136,6 +136,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup detection — the recurring-crawl shape: a new
+    * batch (here the deterministic slice `Hash61.mix(doc_id) % newMod
+    * == 0`, standing in for "this week's crawl") is deduplicated against
+    * the existing index AND against itself, but old-old pairs are never
+    * recomputed. At 100 TB that asymmetry is the whole operator: the
+    * index side's banded signatures are write-once (in production they
+    * live in a signature table keyed by (band_idx, band_hash) — exactly
+    * the layout [[TableIO.writePartitioned]] produces), so each increment
+    * costs O(new · bands) join probes instead of a full-corpus
+    * re-banding. The band equi-join keeps the full corpus on the left
+    * and ONLY the new slice on the right, so the shuffled side is the
+    * small one; the hot-bucket cap is computed over the union (same
+    * contract as [[minhashLsh]], so incremental ∪ old-old == batch —
+    * pinned in DedupClusterSpec).
+    *
+    * Emits the [[minhashLsh]] pair schema (doc_a < doc_b, matching)
+    * restricted to pairs touching at least one new document. */
+  def incremental(spark: SparkSession, sfDir: String,
+      numHashes: Int = 16, bands: Int = 4, newMod: Int = 5): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val banded0 = TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val isNew = Hash61.mix(id) % newMod == 0
+        bandedSignature(text, numHashes, bands).iterator.flatMap {
+          case (sig, bhs) =>
+            (0 until bands).iterator.map(b => (id, isNew, sig, b, bhs(b)))
+        }
+      }.toDF("doc_id", "is_new", "sig", "band_idx", "band_hash")
+    val bucketSizes = banded0.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
+    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash")).drop("bsz")
+    val idx = banded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("id_l"), col("sig").as("sig_l"))
+    val fresh = banded.where(col("is_new"))
+      .select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_r"), col("sig").as("sig_r"))
+    idx.join(fresh, Seq("band_idx", "band_hash"))
+      .where(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        // symmetric in (sig_l, sig_r), so the least/greatest reorder is safe
+        call_function("sig_match_count", col("sig_l"), col("sig_r")).as("matching"))
+      .distinct() // new-new pairs arrive in both orientations
+  }
+
   /** Near-dup clustering: connected components over the MinHash-LSH pair
     * graph. Every document's cluster_id is the smallest doc_id reachable
     * through dup pairs (unpaired docs are their own cluster).

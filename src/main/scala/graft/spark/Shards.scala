@@ -123,6 +123,49 @@ object Shards {
         (col("seq_first") =!= col("seq_last")).cast("long"))
   }
 
+  /** Deterministic train/val/test assignment: `rank = mix(mix(doc_id)
+    * xor SplitSalt) % 10^6` parts-per-million thresholds. Hash-threshold
+    * (not per-source ntile windows) is the 100 TB shape: the assignment
+    * is ROW-LOCAL — zero shuffles, identical under retries, append-only
+    * under corpus growth (a doc's split never changes when new docs
+    * arrive, which per-source ranking cannot promise) — and the salt
+    * makes it independent of [[write]]'s shard hash, so eval rows spread
+    * uniformly over shards. Stratification per source is exact in
+    * expectation (hash ⊥ source); the judge of that tolerance is the
+    * spec, not a second shuffle.
+    *
+    * Emits (doc_id, source, split_rank_ppm, split). */
+  def splitAssign(spark: SparkSession, sfDir: String,
+      valPpm: Int = 10000, testPpm: Int = 10000): DataFrame = {
+    import spark.implicits._
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm < 1000000)
+    TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "source").as[(Long, String)]
+      .map { case (id, src) =>
+        val rank = Hash61.mix(Hash61.mix(id) ^ SplitSalt) % 1000000L
+        val split =
+          if (rank < testPpm) "test"
+          else if (rank < testPpm + valPpm) "val"
+          else "train"
+        (id, src, rank, split)
+      }
+      .toDF("doc_id", "source", "split_rank_ppm", "split")
+  }
+
+  /** Salt decorrelating [[splitAssign]]'s rank from [[write]]'s shard
+    * hash (both start from `mix(doc_id)`). */
+  val SplitSalt: Long = 0x5eed5a17L
+
+  /** SQL replay of [[splitAssign]]. */
+  def splitAssignSql(valPpm: Int = 10000, testPpm: Int = 10000): String = {
+    val rank = Hash61.mixSql(
+      s"xor(${Hash61.mixSql("doc_id::HUGEINT")}, $SplitSalt)")
+    s"SELECT doc_id, source, CAST($rank % 1000000 AS BIGINT) AS split_rank_ppm, " +
+      s"CASE WHEN $rank % 1000000 < $testPpm THEN 'test' " +
+      s"WHEN $rank % 1000000 < ${testPpm} + ${valPpm} THEN 'val' " +
+      "ELSE 'train' END AS split FROM documents"
+  }
+
   /** SQL replay of [[packSequences]]: same mix-assignment, same word
     * model, same per-shard running sum (integer window — order-free
     * given the unique doc_id sort key). */

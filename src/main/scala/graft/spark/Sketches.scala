@@ -125,4 +125,78 @@ object Sketches {
       s"THEN $m * ln(CAST($m AS DOUBLE) / es.zeros) ELSE es.raw END) * 1000000) / 1000000 AS hll_estimate " +
       "FROM ex JOIN es ON es.source = ex.source"
   }
+
+  /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    * the frequency twin of the HLL cardinality sketch: which tokens
+    * dominate the corpus, without a corpus-wide exact top-k.
+    *
+    * Scale shape: the sketch is a FIXED depth×width counter matrix
+    * built by one map-side-combined hash-aggregate (the exchange
+    * carries ≤ d·w rows no matter the corpus — the shape an exact
+    * per-token count can't have); candidate heavy hitters are the
+    * distinct tokens whose sketch estimate clears `total/heavyDenom`
+    * (CMS overestimates, so candidates ⊇ true heavy hitters — the
+    * false-positive direction is safe); a second pass counts ONLY the
+    * candidates exactly (a semi-join-restricted aggregate — cheap
+    * because the candidate set is tiny by construction). The verdict
+    * column `is_true_heavy` exposes the sketch's false positives
+    * instead of hiding them.
+    *
+    * Emits (word, cms_est, exact_cnt, is_true_heavy). */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String,
+      depth: Int = 4, width: Int = 512, heavyDenom: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(depth >= 1 && depth <= 16 && width >= 16 && width <= (1 << 20),
+      "sketch dimensions must stay a bounded broadcastable state")
+    val seeds = Array.tabulate(depth)(r => Hash61.mix(1000L + r))
+    val words = TableIO(spark, sfDir).read("documents")
+      .select("text").as[String]
+      .flatMap(_.split(" ").iterator.filter(_.nonEmpty))
+      .toDF("word")
+    // one occurrence pass builds the whole matrix (map-side combined)
+    val counters = words.as[String].flatMap { w =>
+      val h = Hash61.wordHash(w)
+      (0 until depth).iterator.map(r => (r, (Hash61.mix(h ^ seeds(r)) % width).toInt))
+    }.toDF("r", "col").groupBy("r", "col").agg(count(lit(1)).as("c"))
+    val totals = words.agg(count(lit(1)).as("total"))
+    // probe the sketch for every DISTINCT token (vocabulary-bounded)
+    val probes = words.distinct().as[String].flatMap { w =>
+      val h = Hash61.wordHash(w)
+      (0 until depth).iterator.map(r => (w, r, (Hash61.mix(h ^ seeds(r)) % width).toInt))
+    }.toDF("word", "r", "col")
+    val est = probes.join(counters, Seq("r", "col"))
+      .groupBy("word").agg(min(col("c")).as("cms_est"))
+    val cand = est.crossJoin(broadcast(totals))
+      .where(col("cms_est") * heavyDenom >= col("total"))
+    // exact pass restricted to the candidates the sketch surfaced
+    val exact = words.join(broadcast(cand.select("word")), "word")
+      .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+    cand.join(exact, "word")
+      .select(col("word"), col("cms_est"), col("exact_cnt"),
+        (col("exact_cnt") * heavyDenom >= col("total")).cast("long").as("is_true_heavy"))
+  }
+
+  /** DuckDB replay of [[cmsHeavyHitters]]: same seeds, same xor-mix
+    * coordinates, same min-over-rows estimate, same candidate gate. */
+  def cmsHeavyHittersSql(depth: Int = 4, width: Int = 512,
+      heavyDenom: Int = 64): String = {
+    val seedList = (0 until depth)
+      .map(r => s"(${r}, ${Hash61.mix(1000L + r)}::HUGEINT)").mkString(", ")
+    val coord = Hash61.mixSql("xor(h, seed)")
+    s"WITH sd(r, seed) AS (VALUES $seedList), " +
+      "w AS MATERIALIZED (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents), " +
+      s"hw AS MATERIALIZED (SELECT word, ${Hash61.wordHashSql("word")} AS h FROM (SELECT DISTINCT word FROM w)), " +
+      "occ AS MATERIALIZED (SELECT w.word, hw.h FROM w JOIN hw USING (word)), " +
+      s"co AS MATERIALIZED (SELECT r, CAST($coord % $width AS INTEGER) AS col FROM occ CROSS JOIN sd), " +
+      "cnt AS MATERIALIZED (SELECT r, col, CAST(COUNT(*) AS BIGINT) AS c FROM co GROUP BY 1, 2), " +
+      s"pr AS (SELECT word, r, CAST($coord % $width AS INTEGER) AS col FROM hw CROSS JOIN sd), " +
+      "est AS (SELECT word, MIN(c) AS cms_est FROM pr JOIN cnt USING (r, col) GROUP BY word), " +
+      "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w), " +
+      s"cand AS (SELECT word, cms_est, total FROM est CROSS JOIN tot WHERE cms_est * $heavyDenom >= total), " +
+      "ex AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w " +
+      "WHERE word IN (SELECT word FROM cand) GROUP BY word) " +
+      "SELECT cand.word, cand.cms_est, ex.exact_cnt, " +
+      s"CAST(CASE WHEN ex.exact_cnt * $heavyDenom >= cand.total THEN 1 ELSE 0 END AS BIGINT) AS is_true_heavy " +
+      "FROM cand JOIN ex USING (word)"
+  }
 }
