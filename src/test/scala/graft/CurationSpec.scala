@@ -134,4 +134,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("klDrift matches a naive in-memory reference exactly") {
+    val nb = 256; val newMod = 4
+    // replicate the operator's model verbatim: occupied buckets only,
+    // add-λ over ALL buckets in the denominator, micro-nat floor per term
+    val byBucket = scala.collection.mutable.Map.empty[(String, Int), (Long, Long)]
+    docs().foreach { case (id, src, text) =>
+      val isNew = Hash61.mix(id) % newMod == 0
+      text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+        val k = (src, (Hash61.wordHash(w) % nb).toInt)
+        val (cn, co) = byBucket.getOrElse(k, (0L, 0L))
+        byBucket(k) = if (isNew) (cn + 1, co) else (cn, co + 1)
+      }
+    }
+    val lam = Curation.Lambda; val lamB = lam * nb
+    val want = byBucket.toSeq.groupBy(_._1._1).map { case (src, bks) =>
+      val tn = bks.map(_._2._1).sum; val tl = bks.map(_._2._2).sum
+      val kl = bks.map { case (_, (cn, co)) =>
+        val pn = (cn + lam) / (tn + lamB)
+        val po = (co + lam) / (tl + lamB)
+        math.floor(pn * math.log(pn / po) * 1e6).toLong
+      }.sum
+      (src, tn, tl, kl)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.klDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // both slices must be populated in every source (else the gate
+    // degenerates to comparing against the λ prior)
+    got.foreach { case (src, tn, tl, _) =>
+      assert(tn > 0 && tl > 0, s"$src has an empty slice")
+    }
+    // floored-term sum may undershoot true KL (≥ 0) by at most 1
+    // micro-nat per occupied bucket
+    got.foreach { case (src, _, _, kl) =>
+      assert(kl >= -nb.toLong, s"$src: kl_unats=$kl below the floor bound")
+    }
+  }
 }

@@ -143,4 +143,25 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rddDirs(new java.io.File(dir)).isEmpty,
       "aborted run left checkpoint files behind")
   }
+
+  test("incremental ∪ old-old == batch (recurring-crawl equivalence)") {
+    val s = spark
+    import s.implicits._
+    // the incremental face must find EXACTLY the batch pairs that touch
+    // the new slice — no extras (same hot-bucket cap), no misses (the
+    // index side keeps the full corpus) — so incremental runs plus the
+    // never-recomputed old-old pairs reconstruct the batch answer
+    val batch = Dedup.minhashLsh(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val inc = Dedup.incremental(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    def isNew(id: Long): Boolean = graft.spark.Hash61.mix(id) % 5 == 0
+    val touching = batch.filter { case (a, b, _) => isNew(a) || isNew(b) }
+    assert(inc == touching,
+      s"incremental found ${inc.size} pairs, batch-restricted has ${touching.size}")
+    val oldOld = batch -- touching
+    assert((inc ++ oldOld) == batch)
+    // both regimes exercised: some pairs touch the slice, some don't
+    assert(inc.nonEmpty && oldOld.nonEmpty)
+  }
 }

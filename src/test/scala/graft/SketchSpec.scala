@@ -58,4 +58,34 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
       "max(rho) must combine map-side so the corpus collapses before the shuffle\n" + plan)
   }
+
+  test("CMS heavy hitters: overestimate-safe candidates, exact verdicts") {
+    val s = spark
+    import s.implicits._
+    val heavyDenom = 64
+    // naive exact token counts — the ground truth the sketch approximates
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect()
+      .iterator.flatMap(_.split(" ").iterator.filter(_.nonEmpty))
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1L) }
+    val total = counts.valuesIterator.sum
+    val trueHeavy = counts.filter { case (_, c) => c * heavyDenom >= total }.keySet
+    assert(trueHeavy.nonEmpty, "fixture must contain at least one true heavy hitter")
+
+    val rows = Sketches.cmsHeavyHitters(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, est, exact, heavy) =>
+      // CMS only ever OVERcounts (hash collisions add, never subtract)
+      assert(est >= exact, s"'$w': sketch $est under exact $exact")
+      assert(exact == counts(w), s"'$w': second-pass count wrong")
+      assert((heavy == 1L) == (exact * heavyDenom >= total),
+        s"'$w': is_true_heavy verdict disagrees with ground truth")
+    }
+    // no true heavy hitter may be missed — candidates ⊇ truth is the
+    // direction the overestimate guarantees
+    val flagged = rows.filter(_._4 == 1L).map(_._1).toSet
+    assert(trueHeavy.subsetOf(flagged),
+      s"sketch missed true heavy hitters: ${trueHeavy -- flagged}")
+  }
 }

@@ -229,4 +229,38 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxB.toDouble / total < 0.10,
       s"bucket skew too high: max=$maxB of $total")
   }
+
+  test("splitAssign: pure in doc_id, threshold-exact, shuffle-free, decorrelated") {
+    import graft.spark.{Hash61, Shards}
+    val valPpm = 200000; val testPpm = 200000
+    val df = Shards.splitAssign(spark, sfDir, valPpm, testPpm)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // assignment is a pure function of doc_id — the property that makes
+    // it retry-safe and append-stable (new docs can't move old splits)
+    rows.foreach { case (id, rank, split) =>
+      val want = Hash61.mix(Hash61.mix(id) ^ Shards.SplitSalt) % 1000000L
+      assert(rank == want, s"doc $id rank drifted")
+      val wantSplit =
+        if (rank < testPpm) "test"
+        else if (rank < testPpm + valPpm) "val" else "train"
+      assert(split == wantSplit, s"doc $id split/threshold mismatch")
+    }
+    // fractions near the requested ppm (500 docs, p=0.2 each: 4σ ≈ ±36)
+    val n = rows.length.toDouble
+    Seq("val", "test").foreach { sp =>
+      val frac = rows.count(_._3 == sp) / n
+      assert(frac > 0.10 && frac < 0.30, s"$sp fraction $frac off target 0.2")
+    }
+    // row-local: the plan may not contain a single exchange
+    assert(!PlanTestUtil.finalPlan(df).contains("Exchange"),
+      "split assignment must not shuffle")
+    // decorrelated from the shard hash: eval docs spread over shards
+    // (the salt is the only thing preventing split==f(shard))
+    val evalShards = rows.filter(_._3 != "train")
+      .map { case (id, _, _) => Hash61.mix(id) % 16 }.distinct
+    assert(evalShards.length > 8,
+      s"eval rows collapsed onto ${evalShards.length} of 16 shards")
+  }
 }
