@@ -574,6 +574,14 @@ object SparkEntry {
         .where(col("rn") === 1)
         .select("user_id", "event_type")
     }),
+    // as-of join via union-and-carry (one shuffle, one window pass — the
+    // shape that survives where correlated subqueries and theta-joins
+    // can't); oracle = DuckDB's NATIVE ASOF JOIN, a different algorithm
+    "q_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
+    // range join via window-width time bins (equi-join on (user, bin),
+    // probe expands 2×, residual range runs inside the aggregate);
+    // oracle = the naive inequality join the binned plan must agree with
+    "q_range_join" -> ((s, dir) => Temporal.rangeJoin(s, dir)),
   )
 
   /** Recursive-CTE replay of [[TranscriptGen.chunks]] (the greedy ≥40-char
@@ -1373,6 +1381,8 @@ object SparkEntry {
       ("SELECT user_id, event_type FROM (" +
         "SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events) t WHERE rn = 1"),
+    "q_asof_join" -> graft.spark.Temporal.asofJoinSql(),
+    "q_range_join" -> graft.spark.Temporal.rangeJoinSql(),
     )
   }
 }
