@@ -201,4 +201,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1,
       s"groupBy(user_id, session_idx) must reuse the window's hashpartitioning(user_id), got $exchanges exchanges\n" + plan)
   }
+
+  test("as-of join: one user_id exchange, no join operator at all") {
+    // the union-and-carry formulation: the only exchange is the window's
+    // hashpartitioning(user_id); there is NO join node (a theta-join or
+    // correlated-subquery formulation would show one and die at scale)
+    val plan = finalPlan(SparkEntry.queries("q_asof_join")(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected the single window exchange, got $exchanges\n" + plan)
+    assert(!plan.contains("Join"), "as-of must be a window pass, not a join\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("range join: equi hash join on (user, bin), never a cartesian") {
+    val plan = finalPlan(SparkEntry.queries("q_range_join")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride an equi join, not a product\n" + plan)
+    assert(plan.contains("user_id") && plan.contains("bin"),
+      "join keys must be (user_id, bin)\n" + plan)
+  }
+
+  test("bm25: corpus postings meet the query terms via broadcast, no cartesian scan") {
+    val plan = finalPlan(SparkEntry.queries("bm25_topk")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms must broadcast into the postings scan\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the one-row corpus-stats frame is the only nested-loop join allowed
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj)\n" + plan)
+  }
+
+  test("CMS sketch: counter matrix partial-aggregates map-side before its exchange") {
+    val plan = finalPlan(SparkEntry.queries("cms_heavyhitters")(spark, sfDir))
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_count")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "the d×w counters must combine map-side so the exchange is sketch-sized\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("incremental dedup: band equi-join, codegen'd match count, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("dedup_incremental")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("sig_match_count"),
+      "pair scoring must be the codegen'd expression\n" + plan)
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      "no interpreted HOF in the pair path\n" + plan)
+  }
 }
