@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline, over the
@@ -156,7 +156,6 @@ object Dedup {
   def incremental(spark: SparkSession, sfDir: String,
       numHashes: Int = 16, bands: Int = 4, newMod: Int = 5): DataFrame = {
     import spark.implicits._
-    VectorFunctions.register(spark)
     val banded0 = TableIO(spark, sfDir).read("documents")
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -166,21 +165,65 @@ object Dedup {
             (0 until bands).iterator.map(b => (id, isNew, sig, b, bhs(b)))
         }
       }.toDF("doc_id", "is_new", "sig", "band_idx", "band_hash")
-    val bucketSizes = banded0.groupBy("band_idx", "band_hash")
+    probeIndex(banded0.where(!col("is_new")).drop("is_new"),
+      banded0.where(col("is_new")).drop("is_new"))
+  }
+
+  /** Banding kernel shared by the one-shot and PERSISTED-INDEX flows:
+    * one row per (doc, band) carrying the full signature — the row
+    * layout of the standing signature table ([[writeSignatureIndex]]). */
+  def bandedFrame(docs: Dataset[(Long, String)],
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (id, text) =>
+      bandedSignature(text, numHashes, bands).iterator.flatMap {
+        case (sig, bhs) =>
+          (0 until bands).iterator.map(b => (id, sig, b, bhs(b)))
+      }
+    }.toDF("doc_id", "sig", "band_idx", "band_hash")
+  }
+
+  /** Write (or append) a slice's banded signatures as the standing
+    * index — each document is banded exactly ONCE in its lifetime; every
+    * later increment probes the stored rows. */
+  def writeSignatureIndex(docs: Dataset[(Long, String)], io: TableIO,
+      table: String, mode: SaveMode = SaveMode.Append,
+      numHashes: Int = 16, bands: Int = 4): Unit =
+    io.write(bandedFrame(docs, numHashes, bands), table, mode)
+
+  /** Probe phase of the recurring-crawl flow: near-dup pairs between the
+    * fresh slice and (standing index ∪ fresh). The old corpus is NOT an
+    * input — the asymmetry [[incremental]]'s scaladoc describes is
+    * structural here, not an optimization flag: old text is never
+    * re-read, never re-shingled, never re-banded. The hot-bucket cap is
+    * evaluated over (index ∪ fresh) AS OF THIS INCREMENT; a bucket that
+    * only later crosses the cap keeps its earlier-emitted pairs — the
+    * same emit-then-cap divergence from one-shot batch semantics the
+    * streaming detector documents (StreamingNearDup), and
+    * DedupClusterSpec pins its exact extent (lifecycle ⊇ batch, extras
+    * confined to late-hot buckets).
+    *
+    * Emits the [[minhashLsh]] pair schema (doc_a < doc_b, matching). */
+  def probeIndex(index: DataFrame, fresh: DataFrame): DataFrame = {
+    val spark = index.sparkSession
+    VectorFunctions.register(spark)
+    val all = index.unionByName(fresh)
+    val bucketSizes = all.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
-    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash")).drop("bsz")
-    val idx = banded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("id_l"), col("sig").as("sig_l"))
-    val fresh = banded.where(col("is_new"))
+    val left = all.join(bucketSizes, Seq("band_idx", "band_hash"))
+      .select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("id_l"), col("sig").as("sig_l"))
+    val right = fresh.join(bucketSizes, Seq("band_idx", "band_hash"))
       .select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_r"), col("sig").as("sig_r"))
-    idx.join(fresh, Seq("band_idx", "band_hash"))
+    left.join(right, Seq("band_idx", "band_hash"))
       .where(col("id_l") =!= col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("doc_a"),
         greatest(col("id_l"), col("id_r")).as("doc_b"),
         // symmetric in (sig_l, sig_r), so the least/greatest reorder is safe
         call_function("sig_match_count", col("sig_l"), col("sig_r")).as("matching"))
-      .distinct() // new-new pairs arrive in both orientations
+      .distinct() // fresh-fresh pairs arrive in both orientations
   }
 
   /** Near-dup clustering: connected components over the MinHash-LSH pair

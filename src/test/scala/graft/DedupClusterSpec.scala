@@ -164,4 +164,52 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both regimes exercised: some pairs touch the slice, some don't
     assert(inc.nonEmpty && oldOld.nonEmpty)
   }
+
+  test("persisted-index lifecycle: three crawls, each doc banded once, reconstructs batch") {
+    val s = spark
+    import s.implicits._
+    import graft.spark.TableIO
+    import org.apache.spark.sql.SaveMode
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    def slice(m: Long) = docs.filter(d => graft.spark.Hash61.mix(d._1) % 3 == m)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    val io = TableIO(spark, root)
+    // crawl 1 probes an EMPTY index (bootstrap: its own internal pairs),
+    // then becomes the index; crawls 2 and 3 probe and append — no text
+    // is ever re-read or re-banded after its own crawl
+    val empty = Dedup.bandedFrame(slice(0)).limit(0)
+    val pA = pairs(Dedup.probeIndex(empty, Dedup.bandedFrame(slice(0))))
+    Dedup.writeSignatureIndex(slice(0), io, "sig_index", SaveMode.Overwrite)
+    val pB = pairs(Dedup.probeIndex(io.read("sig_index"), Dedup.bandedFrame(slice(1))))
+    Dedup.writeSignatureIndex(slice(1), io, "sig_index", SaveMode.Append)
+    val pC = pairs(Dedup.probeIndex(io.read("sig_index"), Dedup.bandedFrame(slice(2))))
+    val lifecycle = pA ++ pB ++ pC
+    assert(pA.nonEmpty && pB.nonEmpty && pC.nonEmpty,
+      "every crawl must contribute pairs on this fixture")
+
+    val batch = pairs(Dedup.minhashLsh(spark, sfDir))
+    // a bucket within the cap over the FULL corpus was within it at
+    // every increment (bucket sizes only grow), so nothing can be missed
+    assert(batch.subsetOf(lifecycle),
+      s"lifecycle missed ${(batch -- lifecycle).size} batch pairs")
+    // extras are allowed ONLY from buckets that crossed the hot cap
+    // after their pairs were emitted — the same emit-then-cap divergence
+    // the streaming detector documents
+    val extras = lifecycle -- batch
+    if (extras.nonEmpty) {
+      val byBucket = Dedup.bandedFrame(docs)
+        .select("band_idx", "band_hash", "doc_id")
+        .as[(Int, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet)
+      val hot = byBucket.filter(_._2.size > 64).values.toSeq // MaxBucket
+      extras.foreach { case (a, b, _) =>
+        assert(hot.exists(ds => ds(a) && ds(b)),
+          s"extra pair ($a,$b) not explained by a late-hot bucket")
+      }
+    }
+  }
 }
