@@ -349,6 +349,9 @@ object SparkEntry {
     // CCNet-style LM scoring: add-one bigram model trained on the fly;
     // all float work floored to integer micro-nats before aggregation
     "quality_perplexity" -> ((s, dir) => Curation.perplexity(s, dir)),
+    // CCNet head/middle/tail: per-source perplexity terciles on the
+    // deterministic rank (integer formula, not engine-varying NTILE)
+    "quality_ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
     // GPT-style concat-and-chunk packing, defined per shard (the global
     // order a monolithic packer needs is what doesn't scale)
     "pack_sequences" -> ((s, dir) => Shards.packSequences(s, dir)),
@@ -970,6 +973,8 @@ object SparkEntry {
     // Bigram-LM replay: word-hash stream, 2-shingle keys, per-position
     // micro-nat floor, integer sums.
     "quality_perplexity" -> graft.spark.Curation.perplexitySql(),
+    // Tercile replay: perplexity CTE + same rank + integer bucket cut.
+    "quality_ccnet_buckets" -> graft.spark.Curation.ccnetBucketsSql(),
     // Packing replay: mix-assignment + per-shard integer running sum.
     "pack_sequences" -> graft.spark.Shards.packSequencesSql(),
     // KL-drift replay: same slice predicate, same bucket model, pn/po

@@ -238,6 +238,48 @@ object Curation {
           .as("nll_per_bigram"))
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): each
+    * source's documents are ranked by [[perplexity]]'s `nll_per_bigram`
+    * (ascending — fluent first) and cut into terciles. Downstream
+    * pipelines train preferentially on `head`, sample `middle`, and
+    * drop or audit `tail`.
+    *
+    * The tercile is `((rank − 1) · 3) div n` on the deterministic
+    * (nll_per_bigram, doc_id) rank — NOT `NTILE(3)`: engines place
+    * NTILE's remainder rows differently, while this integer formula is
+    * bit-identical everywhere. Scale shape: perplexity's key-partitioned
+    * equi-joins plus ONE rank window per source (the quota sampler's
+    * exchange shape); nothing new is collected or broadcast.
+    *
+    * Emits (doc_id, source, nll_per_bigram, bucket). */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = TableIO(spark, sfDir).read("documents").select("doc_id", "source")
+    val w = Window.partitionBy("source")
+      .orderBy(col("nll_per_bigram"), col("doc_id"))
+    perplexity(spark, sfDir).join(src, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("tercile", expr("((rn - 1) * 3) div n"))
+      .select(col("doc_id"), col("source"), col("nll_per_bigram"),
+        when(col("tercile") === 0, "head")
+          .when(col("tercile") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** SQL replay of [[ccnetBuckets]]: [[perplexitySql]] as a nested CTE,
+    * same deterministic rank, same integer tercile formula. */
+  def ccnetBucketsSql(): String =
+    s"WITH base AS MATERIALIZED (${perplexitySql()}), " +
+      "j AS (SELECT base.doc_id, d.source, base.nll_per_bigram " +
+      "FROM base JOIN documents d ON d.doc_id = base.doc_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY nll_per_bigram, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n FROM j) " +
+      "SELECT doc_id, source, nll_per_bigram, " +
+      "CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle' " +
+      "ELSE 'tail' END AS bucket FROM r"
+
   /** SQL replay of [[perplexity]]: same word-hash stream, same bigram
     * shingle, ln floored to micro-nats per position before the sum. */
   def perplexitySql(): String = {

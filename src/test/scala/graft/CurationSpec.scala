@@ -135,6 +135,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ccnetBuckets: exact tercile cut on the deterministic rank, fluent head") {
+    val ppl = Curation.perplexity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val srcs = docs().map(d => (d._1, d._2))
+    val want = srcs.groupBy(_._2).flatMap { case (src, m) =>
+      val ds = m.map(_._1).toSeq.map(id => (id, ppl(id)))
+        .sortBy { case (id, p) => (p, id) }
+      val n = ds.length
+      ds.zipWithIndex.map { case ((id, p), i) =>
+        val b = (i * 3) / n match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        (id, src, p, b)
+      }
+    }.toSet
+    val got = Curation.ccnetBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == want)
+    // the split is by fluency: within each source, head ≤ middle ≤ tail
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      def of(b: String) = rs.filter(_._4 == b).map(_._3)
+      val (h, m, t) = (of("head"), of("middle"), of("tail"))
+      assert(h.nonEmpty && m.nonEmpty && t.nonEmpty, s"$src missing a bucket")
+      assert(h.max <= m.min && m.max <= t.min, s"$src buckets out of order")
+    }
+  }
+
   test("klDrift matches a naive in-memory reference exactly") {
     val nb = 256; val newMod = 4
     // replicate the operator's model verbatim: occupied buckets only,
