@@ -76,6 +76,66 @@ class TemporalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture must exercise both matched and zero-match probes")
   }
 
+  test("randomized corpus: both joins match naive references on a 10-min grid") {
+    // a coarse time grid makes window edges and same-instant ties COMMON
+    // instead of measure-zero — the cases the fixture can't force
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val tenMinUs = 10L * 60 * 1000000
+    val types = Vector("error", "purchase", "click", "view")
+    val ev = (0 until 400).map { i =>
+      val us = (rnd.nextInt(60) + 1).toLong * tenMinUs
+      (i.toLong, us, (rnd.nextInt(4) + 1).toLong, types(rnd.nextInt(types.length)),
+        rnd.nextInt(10000) / 100.0)
+    }
+    val crafted = ev.map { case (id, us, uid, t, v) =>
+      (id, new java.sql.Timestamp(us / 1000), uid, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+    TableIO.registerScheme("tmrand",
+      (_, _) => new TableIO {
+        def read(table: String) = { require(table == "events", table); crafted }
+        def exists(table: String) = table == "events"
+        def write(df: org.apache.spark.sql.DataFrame, table: String,
+            mode: org.apache.spark.sql.SaveMode) = fail("stub is read-only")
+        def writePartitioned(df: org.apache.spark.sql.DataFrame, table: String,
+            partitionCol: String) = fail("stub is read-only")
+      })
+    try {
+      val builds = ev.filter(_._4 == "purchase")
+      val wantAsof = ev.filter(_._4 == "error").map { case (id, us, uid, _, _) =>
+        val prior = builds.filter(b => b._3 == uid && b._2 <= us)
+        if (prior.isEmpty) (id, uid, us, -1L, -1L)
+        else { // tie semantics: latest ts, then largest event_id
+          val p = prior.maxBy(b => (b._2, b._1))
+          (id, uid, us, p._1, us - p._2)
+        }
+      }.sortBy(_._1)
+      val gotAsof = Temporal.asofJoin(spark, "tmrand://x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      assert(gotAsof == wantAsof)
+      // the grid must actually produce same-instant build/probe ties
+      assert(wantAsof.exists(_._5 == 0L), "no inclusive tie generated — weak seed")
+
+      val clicks = ev.filter(_._4 == "click")
+      val win = Temporal.RangeWindowUs
+      val wantRange = ev.filter(_._4 == "error").map { case (id, us, uid, _, _) =>
+        val in = clicks.filter(c => c._3 == uid && c._2 >= us - win && c._2 < us)
+        (id, uid, in.length.toLong, in.map(c => math.round(c._5 * 100)).sum)
+      }.sortBy(_._1)
+      val gotRange = Temporal.rangeJoin(spark, "tmrand://x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(gotRange == wantRange)
+      // exact-edge clicks must occur (grid multiples of the bin width / 3)
+      assert(ev.filter(_._4 == "error").exists { case (_, us, uid, _, _) =>
+        clicks.exists(c => c._3 == uid && c._2 == us - win)
+      }, "no exact window-start click generated — weak seed")
+    } finally TableIO.unregisterScheme("tmrand")
+  }
+
   test("crafted boundaries: inclusive as-of tie, half-open range edges") {
     val s = spark
     import s.implicits._
