@@ -278,4 +278,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture too small to exercise the cap — vacuous")
     assert(streamed.groupBy(_._2).forall(_._2.size <= quota))
   }
+
+  test("streaming KL drift monitor: final snapshot per source equals the batch gate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+
+    val stream = MemoryStream[(Long, String, String)]
+    val q = graft.spark.StreamingDrift
+      .monitor(stream.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    docs.grouped(math.max(docs.size / 3, 1)).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    val snaps = s.table("drift_stream")
+      .as[graft.spark.DriftSnapshot].collect().toSeq
+    val lastPerSource = snaps.groupBy(_.source).map { case (src, ss) =>
+      val last = ss.maxBy(x => x.n_new_tokens + x.n_old_tokens)
+      (src, last.n_new_tokens, last.n_old_tokens, last.kl_unats)
+    }.toSet
+    val batch = graft.spark.Curation.klDrift(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(lastPerSource == batch,
+      s"final streaming snapshots != batch klDrift: ${(lastPerSource -- batch).take(3)}")
+    // the monitor must have emitted INTERMEDIATE snapshots too (that is
+    // its point: the alert fires mid-crawl, not at the next batch job)
+    assert(snaps.size > batch.size, "no intermediate snapshots emitted")
+  }
 }
