@@ -137,19 +137,23 @@ object Shards {
     * Emits (doc_id, source, split_rank_ppm, split). */
   def splitAssign(spark: SparkSession, sfDir: String,
       valPpm: Int = 10000, testPpm: Int = 10000): DataFrame = {
-    import spark.implicits._
     require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm < 1000000)
+    VectorFunctions.register(spark)
+    // pure column arithmetic on the codegen'd hash61_mix expression — no
+    // typed map, so the whole stage (scan → rank → case → project) is one
+    // WholeStageCodegen span with no object-serialization barrier
+    // (PlanSpec-pinned); mix ∈ [0, 2^61) and the salt < 2^31, so the xor
+    // stays inside the mixer's input domain
     TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "source").as[(Long, String)]
-      .map { case (id, src) =>
-        val rank = Hash61.mix(Hash61.mix(id) ^ SplitSalt) % 1000000L
-        val split =
-          if (rank < testPpm) "test"
-          else if (rank < testPpm + valPpm) "val"
-          else "train"
-        (id, src, rank, split)
-      }
-      .toDF("doc_id", "source", "split_rank_ppm", "split")
+      .select(col("doc_id"), col("source"))
+      .withColumn("split_rank_ppm",
+        call_function("hash61_mix",
+          call_function("hash61_mix", col("doc_id"))
+            .bitwiseXOR(lit(SplitSalt))) % 1000000L)
+      .withColumn("split",
+        when(col("split_rank_ppm") < testPpm, "test")
+          .when(col("split_rank_ppm") < testPpm + valPpm, "val")
+          .otherwise("train"))
   }
 
   /** Salt decorrelating [[splitAssign]]'s rank from [[write]]'s shard

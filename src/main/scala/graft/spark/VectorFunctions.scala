@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -147,6 +147,37 @@ case class SigMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+
+/** `hash61_mix(x)` — [[Hash61.mix]] as a native Catalyst expression WITH
+  * codegen: pure-arithmetic row-local stages built on the mixer (the
+  * train/val/test rank in [[Shards.splitAssign]], slice gates) stay
+  * inside whole-stage codegen as plain column expressions, instead of
+  * crossing the SerializeFromObject/DeserializeToObject barrier a typed
+  * `.map` inserts — at 100 TB that barrier is a per-row encoder
+  * round-trip for what is otherwise two multiplies. Generated code calls
+  * the same static method the typed kernels use, so the value is
+  * bit-identical to [[Hash61.mix]] and the `mixSql` oracle replay.
+  * Input contract is Hash61's: any long in [0, 2^61). */
+case class Hash61Mix(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "hash61_mix"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(x: Any): Any = Hash61.mix(x.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.Hash61.mix($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private val dotInfo = new ExpressionInfo(
     classOf[DotF64].getName, null, "dot_f64",
@@ -170,11 +201,24 @@ object VectorFunctions {
       s"sig_match_count expects 2 arguments, got ${other.length}")
   }
 
+  private val mixInfo = new ExpressionInfo(
+    classOf[Hash61Mix].getName, null, "hash61_mix",
+    "_FUNC_(x) - Hash61 deterministic mixer on [0, 2^61)",
+    "")
+
+  private val mixBuilder: Seq[Expression] => Expression = {
+    case Seq(x) => Hash61Mix(x)
+    case other => throw new IllegalArgumentException(
+      s"hash61_mix expects 1 argument, got ${other.length}")
+  }
+
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f64"), dotInfo, dotBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sig_match_count"), matchInfo, matchBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hash61_mix"), mixInfo, mixBuilder)
   }
 }

@@ -253,9 +253,35 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val frac = rows.count(_._3 == sp) / n
       assert(frac > 0.10 && frac < 0.30, s"$sp fraction $frac off target 0.2")
     }
-    // row-local: the plan may not contain a single exchange
-    assert(!PlanTestUtil.finalPlan(df).contains("Exchange"),
-      "split assignment must not shuffle")
+    // row-local: the plan may not contain a single exchange, and — since
+    // the rank is the codegen'd hash61_mix EXPRESSION, not a typed map —
+    // no object-serialization barrier either: one WholeStageCodegen span
+    // from scan to project
+    val plan = PlanTestUtil.finalPlan(df)
+    assert(!plan.contains("Exchange"), "split assignment must not shuffle")
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapElements"),
+      "rank must be a column expression, not a typed map\n" + plan)
+    // '*(n)' prefix == operator runs inside WholeStageCodegen stage n;
+    // both projects (rank + case) must carry it
+    assert(plan.contains("*(1) Project"), plan)
+    // the expression itself: codegen, interpreted, and JVM kernel agree
+    val ids = rows.map(_._1).take(50).toSeq
+    val idDf = { val s2 = spark; import s2.implicits._; ids.toDF("x") }
+    def viaSql() = idDf.selectExpr("hash61_mix(x) AS m")
+      .collect().map(_.getLong(0)).toSeq
+    val codegen = viaSql()
+    val interpreted = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try viaSql()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val jvm = ids.map(graft.spark.Hash61.mix).toSeq
+    assert(codegen == jvm, "generated code diverges from Hash61.mix")
+    assert(interpreted == jvm, "interpreted eval diverges from Hash61.mix")
     // decorrelated from the shard hash: eval docs spread over shards
     // (the salt is the only thing preventing split==f(shard))
     val evalShards = rows.filter(_._3 != "train")
