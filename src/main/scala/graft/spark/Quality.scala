@@ -289,11 +289,12 @@ object Quality {
     * way to cap dominant domains in a web-scale corpus. Skew-safe via the
     * two-phase [[quotaPerDomain]]. */
   def samplePerDomain(spark: SparkSession, sfDir: String, quota: Int = 20): DataFrame = {
-    import spark.implicits._
+    VectorFunctions.register(spark)
+    // rank is the codegen'd hash61_mix expression — pure arithmetic stays
+    // a column, not a typed map with its serialization barrier
     val ranked = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "source").as[(Long, String)]
-      .map { case (id, src) => (id, src, Hash61.mix(id)) }
-      .toDF("doc_id", "source", "rank_key")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rank_key", call_function("hash61_mix", col("doc_id")))
     quotaPerDomain(ranked, quota).select("doc_id", "source", "sample_rank")
   }
 
@@ -333,9 +334,9 @@ object Quality {
     val rates = counts.crossJoin(broadcast(minN))
       .select(col("source"),
         floor(rateCol * lit(1e6)).cast("long").as("threshold_ppm"))
-    val ranked = docs.select("doc_id", "source").as[(Long, String)]
-      .map { case (id, src) => (id, src, Hash61.mix(id) % 1000000L) }
-      .toDF("doc_id", "source", "mix_rank")
+    VectorFunctions.register(spark)
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("mix_rank", call_function("hash61_mix", col("doc_id")) % 1000000L)
     ranked.join(broadcast(rates), "source")
       .where(col("mix_rank") < col("threshold_ppm"))
       .select("doc_id", "source", "mix_rank", "threshold_ppm")
