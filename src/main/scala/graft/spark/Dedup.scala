@@ -141,11 +141,12 @@ object Dedup {
     * == 0`, standing in for "this week's crawl") is deduplicated against
     * the existing index AND against itself, but old-old pairs are never
     * recomputed. At 100 TB that asymmetry is the whole operator: the
-    * index side's banded signatures are write-once (in production they
-    * live in a signature table keyed by (band_idx, band_hash) — exactly
-    * the layout [[TableIO.writePartitioned]] produces), so each increment
-    * costs O(new · bands) join probes instead of a full-corpus
-    * re-banding. The band equi-join keeps the full corpus on the left
+    * index side's banded signatures are write-once (the real persisted
+    * flow is [[writeSignatureIndex]] + [[probeIndex]] — a standing
+    * signature table appended once per crawl, lifecycle-proven in
+    * DedupClusterSpec), so each increment costs O(new · bands) join
+    * probes instead of a full-corpus re-banding.
+    * The band equi-join keeps the full corpus on the left
     * and ONLY the new slice on the right, so the shuffled side is the
     * small one; the hot-bucket cap is computed over the union (same
     * contract as [[minhashLsh]], so incremental ∪ old-old == batch —
