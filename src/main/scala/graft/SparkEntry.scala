@@ -343,6 +343,10 @@ object SparkEntry {
     // temperature-based mixture reweighting (α=0.5): deterministic
     // Hash61-threshold acceptance, no RNG — the corpus never shuffles
     "sample_mixture" -> ((s, dir) => Quality.sampleMixture(s, dir)),
+    // the mixture PLAN the row filter above implements: per-source token
+    // budget + implied epochs under √-temperature; sqrt (IEEE-exact both
+    // engines) + source-ordered cumulative normalizer keep it oracle-able
+    "mixture_plan" -> ((s, dir) => Quality.mixturePlan(s, dir)),
     // DSIR hashed-unigram importance weights (Xie et al. 2023): O(B)
     // model broadcast, scoring pass row-local — the corpus never shuffles
     "dsir_weights" -> ((s, dir) => Curation.dsirWeights(s, dir)),
@@ -967,6 +971,8 @@ object SparkEntry {
         s"d AS (SELECT doc_id, source, CAST(${Hash61.mixSql("doc_id::HUGEINT")} % 1000000 AS BIGINT) AS mix_rank FROM documents) " +
         "SELECT d.doc_id, d.source, d.mix_rank, r.threshold_ppm " +
         "FROM d JOIN r USING (source) WHERE d.mix_rank < r.threshold_ppm"),
+    // Plan replay: sqrt weights, source-ordered cumulative normalizer.
+    "mixture_plan" -> graft.spark.Quality.mixturePlanSql(),
     // DSIR replay: same Hash61 bucket, add-one ratio, ln floored to
     // integer micro-nats per bucket before the per-document sum.
     "dsir_weights" -> graft.spark.Curation.dsirWeightsSql(),

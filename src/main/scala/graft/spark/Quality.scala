@@ -341,4 +341,61 @@ object Quality {
       .where(col("mix_rank") < col("threshold_ppm"))
       .select("doc_id", "source", "mix_rank", "threshold_ppm")
   }
+
+  /** Mixture PLAN — the artifact [[sampleMixture]]'s row filter
+    * implements: given the per-source token counts and the √-temperature
+    * (α = 0.5), how many tokens of a `budgetTokens` training budget each
+    * source contributes and how many epochs over its data that implies
+    * (epochs > 1 ⇒ the source repeats; ≪ 1 ⇒ heavy subsampling). This is
+    * what a data-mixture review actually signs off on before a run.
+    *
+    * Float determinism (the part that makes it oracle-able): weights use
+    * `sqrt` — correctly rounded by IEEE 754 in BOTH engines, unlike
+    * `pow`/`ln`, so per-source weights are bit-identical — and the
+    * normalizer is a CUMULATIVE sum in source order (`rows unbounded
+    * preceding`, then `max`), so both engines add the same doubles in
+    * the same sequence; every emitted number is floored to integer units
+    * AFTER identically-shaped arithmetic. The windows run on the
+    * per-source AGGREGATE (≤ domains rows), not the corpus — the
+    * single-partition frame is a few dozen rows at any scale.
+    *
+    * Emits (source, n_tokens, weight_ppm, planned_tokens, epochs_milli). */
+  def mixturePlan(spark: SparkSession, sfDir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = TableIO(spark, sfDir).read("documents")
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val ord = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tok.withColumn("cum", sum(col("w")).over(ord))
+      .withColumn("total", max(col("cum")).over(all))
+      .select(col("source"), col("n_tokens"),
+        floor(col("w") / col("total") * lit(1e6)).cast("long").as("weight_ppm"),
+        floor(col("w") / col("total") * lit(budgetTokens.toDouble)).cast("long")
+          .as("planned_tokens"),
+        floor(col("w") / col("total") * lit(budgetTokens.toDouble) /
+          col("n_tokens").cast("double") * lit(1000.0)).cast("long")
+          .as("epochs_milli"))
+  }
+
+  /** SQL replay of [[mixturePlan]]: same sqrt weights, same
+    * source-ordered cumulative normalizer, same floor points. */
+  def mixturePlanSql(budgetTokens: Long = 1000000L): String = {
+    val b = budgetTokens.toDouble
+    "WITH tok AS (SELECT source, CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens " +
+      "FROM documents GROUP BY source), " +
+      "w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM tok), " +
+      "c AS (SELECT *, SUM(w) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM w), " +
+      "t AS (SELECT *, MAX(cum) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS total FROM c) " +
+      "SELECT source, n_tokens, " +
+      "CAST(floor(w / total * 1000000.0) AS BIGINT) AS weight_ppm, " +
+      s"CAST(floor(w / total * $b) AS BIGINT) AS planned_tokens, " +
+      s"CAST(floor(w / total * $b / CAST(n_tokens AS DOUBLE) * 1000.0) AS BIGINT) AS epochs_milli " +
+      "FROM t"
+  }
 }

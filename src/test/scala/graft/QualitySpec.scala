@@ -195,4 +195,37 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), "rates must broadcast\n" + plan)
     assert(!plan.contains("SortMergeJoin"), "corpus must not shuffle for the join\n" + plan)
   }
+
+  test("mixturePlan matches a naive reference and budgets coherently") {
+    val s = spark
+    import s.implicits._
+    val budget = 1000000L
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ds) =>
+        (src, ds.map(_._2.split(" ").count(_.nonEmpty).toLong).sum)
+      }.toSeq.sortBy(_._1)
+    // the operator's exact double sequence: sqrt weights, cumulative sum
+    // in source order, floors at the same points
+    val ws = toks.map { case (_, n) => math.sqrt(n.toDouble) }
+    val total = ws.scanLeft(0.0)(_ + _).drop(1).max
+    val want = toks.zip(ws).map { case ((src, n), w) =>
+      (src, n, math.floor(w / total * 1e6).toLong,
+        math.floor(w / total * budget.toDouble).toLong,
+        math.floor(w / total * budget.toDouble / n.toDouble * 1000.0).toLong)
+    }.toSet
+    val got = Quality.mixturePlan(spark, sfDir, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    // weights are a probability in ppm (floor loses < 1 ppm per source)
+    val wsum = got.toSeq.map(_._3).sum
+    assert(wsum <= 1000000L && wsum >= 1000000L - got.size, s"weight sum $wsum")
+    // √-temperature flattens: epochs must be anti-monotone in corpus size
+    val bySize = got.toSeq.sortBy(_._2)
+    bySize.zip(bySize.drop(1)).foreach { case (small, large) =>
+      assert(small._5 >= large._5,
+        s"larger source ${large._1} got more epochs than ${small._1}")
+    }
+  }
 }
