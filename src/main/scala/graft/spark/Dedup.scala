@@ -612,6 +612,12 @@ object Dedup {
       .select(col("doc_id"), expr(
         s"array_join(slice(filter(split(text, ' '), w -> w != ''), 1, $spanWords), ' ')").as("span"))
       .as[(Long, String)].collect().toMap
+    // the splice plant addresses doc_ids 0..39 by construction; a corpus
+    // missing one would throw NoSuchElementException on an executor while
+    // the oracle's inner join silently dropped the row — make the shape
+    // assumption loud on the driver instead (ADVICE r4)
+    require(srcSpans.size == 40,
+      s"substringSpans plant needs doc_ids 0..39 present; found ${srcSpans.size}")
     val bcSpans = spark.sparkContext.broadcast(srcSpans)
     substringSpansOn(spark, docs.map { case (id, text) =>
       (id, if (id % 5 == 2) bcSpans.value(id % 40) + " " + text else text)

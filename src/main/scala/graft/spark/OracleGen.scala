@@ -142,24 +142,30 @@ object OracleGen {
     * codebook) and codes (per-(vector, subspace) nearest centroid).
     * Requires `pd` (the `sub` width) in scope. [[pqTopKSql]] trains on
     * the raw vectors, [[ivfpqTopKSql]] on coarse residuals. */
-  private def pqTrainCtes(src: String, m: Int, ksub: Int, lloydIters: Int): String = {
+  private def pqTrainCtes(src: String, m: Int, ksub: Int, lloydIters: Int,
+      sampleCap: Int): String = {
     val sb = new StringBuilder
     sb.append(s", sp AS MATERIALIZED (SELECT unnest(range(0, $m)) AS s)")
-    sb.append(s", ps0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r FROM $src)")
+    // training sample: first `sampleCap` vectors by vec_id — EXACTLY the
+    // bounded sample Similarity.trainPq collects, so parity no longer
+    // rests on the corpus fitting under the cap (ADVICE r4). Coding
+    // (cdist/codes) still covers the FULL corpus, as the JVM does.
+    sb.append(s", psmp AS MATERIALIZED (SELECT vec_id, r FROM $src ORDER BY vec_id LIMIT $sampleCap)")
+    sb.append(s", ps0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, r FROM psmp)")
     sb.append(", pcent0 AS MATERIALIZED (SELECT sp.s, ps0.c, " +
       "list_transform(range(1, sub + 1), j0_ -> ps0.r[sp.s * sub + j0_]) AS cv " +
       s"FROM ps0 CROSS JOIN sp CROSS JOIN pd WHERE ps0.c < $ksub)")
     for (i <- 1 to lloydIters) {
       val prev = s"pcent${i - 1}"
       sb.append(s", pq$i AS MATERIALIZED (SELECT sv.vec_id, c0.s, c0.c, ${subDistSql("c0.cv", "sv.r", "c0.s")} AS d " +
-        s"FROM $src sv CROSS JOIN $prev c0 CROSS JOIN pd)")
+        s"FROM psmp sv CROSS JOIN $prev c0 CROSS JOIN pd)")
       sb.append(s", pa$i AS MATERIALIZED (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, " +
         s"row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM pq$i) WHERE rn = 1)")
       // ordered elementwise slice sum (vec_id order == JVM accumulation)
       sb.append(s", pm$i AS MATERIALIZED (SELECT a.s, a.c, count(*) AS cnt, " +
         "list_reduce(list(list_transform(range(1, sub + 1), mj_ -> sv.r[a.s * sub + mj_]) ORDER BY sv.vec_id), " +
         "(mx_, my_) -> list_transform(range(1, sub + 1), ej_ -> mx_[ej_] + my_[ej_])) AS sums " +
-        s"FROM pa$i a JOIN $src sv ON sv.vec_id = a.vec_id CROSS JOIN pd GROUP BY a.s, a.c, sub)")
+        s"FROM pa$i a JOIN psmp sv ON sv.vec_id = a.vec_id CROSS JOIN pd GROUP BY a.s, a.c, sub)")
       sb.append(s", pcent$i AS MATERIALIZED (SELECT c0.s, c0.c, CASE WHEN pm.c IS NULL THEN c0.cv " +
         "ELSE list_transform(range(1, sub + 1), cj_ -> pm.sums[cj_] / pm.cnt) END AS cv " +
         s"FROM $prev c0 CROSS JOIN pd LEFT JOIN pm$i pm ON c0.s = pm.s AND c0.c = pm.c)")
@@ -179,11 +185,11 @@ object OracleGen {
     * by (approx, id), exact cosine re-rank. Same sampleCap assumption as
     * [[ivfTopKSql]]. */
   def pqTopKSql(m: Int = 8, ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
-      numQueries: Int = 20, lloydIters: Int = 5): String = {
+      numQueries: Int = 20, lloydIters: Int = 5, sampleCap: Int = 4096): String = {
     val sb = new StringBuilder(embHead)
     sb.append(s", pd AS MATERIALIZED (SELECT dim // $m AS sub FROM dims)")
     sb.append(", pv AS MATERIALIZED (SELECT vec_id, v AS r FROM e)")
-    sb.append(pqTrainCtes("pv", m, ksub, lloydIters))
+    sb.append(pqTrainCtes("pv", m, ksub, lloydIters, sampleCap))
     sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
     // ADC: the query rows of cdist ARE the lookup tables dt(s, c)
     sb.append(", ax AS MATERIALIZED (SELECT dt.vec_id AS query_id, cd.vec_id AS corpus_id, " +
@@ -210,17 +216,17 @@ object OracleGen {
     * cosine re-rank. Same bounded-sample assumption as the pieces. */
   def ivfpqTopKSql(numCentroids: Int = 16, nprobe: Int = 4, m: Int = 8,
       ksub: Int = 16, shortlist: Int = 32, k: Int = 5,
-      numQueries: Int = 20, lloydIters: Int = 5): String = {
+      numQueries: Int = 20, lloydIters: Int = 5, sampleCap: Int = 4096): String = {
     val cf = s"cent$lloydIters"
     val pcf = s"pcent$lloydIters"
     val sb = new StringBuilder(embHead)
     sb.append(s", pd AS MATERIALIZED (SELECT dim // $m AS sub FROM dims)")
-    sb.append(coarseCtes(numCentroids, lloydIters))
+    sb.append(coarseCtes(numCentroids, lloydIters, sampleCap))
     // corpus residuals vs the assigned cell's final centroid
     sb.append(", res AS MATERIALIZED (SELECT e.vec_id, list_transform(range(1, dim + 1), " +
       "rj_ -> e.v[rj_] - cf.cv[rj_]) AS r " +
       s"FROM e JOIN asg ON asg.vec_id = e.vec_id JOIN $cf cf ON cf.c = asg.cell CROSS JOIN dims)")
-    sb.append(pqTrainCtes("res", m, ksub, lloydIters))
+    sb.append(pqTrainCtes("res", m, ksub, lloydIters, sampleCap))
     sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
     sb.append(", probes AS MATERIALIZED (SELECT vec_id AS query_id, c AS cell FROM (" +
       "SELECT df.vec_id, df.c, row_number() OVER (PARTITION BY df.vec_id ORDER BY d, c) AS rn " +
@@ -251,22 +257,28 @@ object OracleGen {
 
   /** Replays [[Similarity.ivfTopK]] incl. quantizer training: init =
     * lowest-vec_id vectors, `lloydIters` unrolled Lloyd steps (ordered
-    * elementwise sums → bit-exact means), full-corpus assignment, nprobe
-    * probing, exact re-rank. Assumes the corpus fits the training
-    * sampleCap (4096 — true at every shipped SF; the Spark side samples
-    * `ORDER BY vec_id LIMIT 4096`). */
+    * elementwise sums → bit-exact means) over the first-`sampleCap`
+    * vec_id-ordered sample (the exact sample the Spark side collects),
+    * full-corpus assignment, nprobe probing, exact re-rank. */
   /** Coarse-IVF CTEs shared by [[ivfTopKSql]] and [[ivfpqTopKSql]]:
     * training (cent0..N), per-(vector, final centroid) distances (df) and
     * the corpus cell assignment (asg). Requires e/dims in scope. */
-  private def coarseCtes(numCentroids: Int, lloydIters: Int): String = {
+  private def coarseCtes(numCentroids: Int, lloydIters: Int,
+      sampleCap: Int): String = {
     val sb = new StringBuilder
-    sb.append(", s0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e)")
+    // training sample: first `sampleCap` vectors by vec_id — EXACTLY the
+    // bounded sample Similarity.trainQuantizer collects, so parity no
+    // longer rests on the corpus fitting under the cap (ADVICE r4). The
+    // final assignment (df/asg) still covers the FULL corpus, as the JVM
+    // does.
+    sb.append(s", smp AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $sampleCap)")
+    sb.append(", s0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM smp)")
     sb.append(s", cent0 AS MATERIALIZED (SELECT c, v AS cv FROM s0 WHERE c < $numCentroids)")
     for (i <- 1 to lloydIters) {
       val prev = s"cent${i - 1}"
       // assign every sample vector to its nearest centroid (ties → low c)
       sb.append(s", d$i AS MATERIALIZED (SELECT e.vec_id, e.v, c0.c, ${distSql("c0.cv", "e.v")} AS d " +
-        s"FROM e CROSS JOIN $prev c0 CROSS JOIN dims)")
+        s"FROM smp e CROSS JOIN $prev c0 CROSS JOIN dims)")
       sb.append(s", a$i AS MATERIALIZED (SELECT vec_id, v, c FROM (SELECT vec_id, v, c, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d$i) WHERE rn = 1)")
       // ordered elementwise sum (vec_id order == the JVM accumulation order)
@@ -289,11 +301,13 @@ object OracleGen {
   /** Replays [[Dedup.semanticOn]] over the fully-planted union corpus
     * (every vector gets a near-dup at vec_id + 100000 with every 9th
     * dim halved — an exponent-only float op, exact in float AND double,
-    * so both engines see identical vectors): full Lloyd training over
-    * the union, cell assignment, within-cell a<b pair scan at
-    * `threshold`, keep-lowest-id winner per dropped vector. */
+    * so both engines see identical vectors): Lloyd training over the
+    * union's first-`sampleCap` vec_id-ordered sample (matching
+    * `Similarity.trainQuantizer` at ANY corpus size — ADVICE r4), cell
+    * assignment, within-cell a<b pair scan at `threshold`,
+    * keep-lowest-id winner per dropped vector. */
   def semanticDedupSql(numCentroids: Int = 16, lloydIters: Int = 5,
-      threshold: Double = 0.95): String = {
+      threshold: Double = 0.95, sampleCap: Int = 4096): String = {
     val sb = new StringBuilder(
       "WITH e0 AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         "pl AS MATERIALIZED (SELECT vec_id + 100000 AS vec_id, " +
@@ -302,7 +316,7 @@ object OracleGen {
         "e AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm " +
         "FROM (SELECT * FROM e0 UNION ALL SELECT * FROM pl)), " +
         "dims AS MATERIALIZED (SELECT max(len(v)) AS dim FROM e)")
-    sb.append(coarseCtes(numCentroids, lloydIters))
+    sb.append(coarseCtes(numCentroids, lloydIters, sampleCap))
     sb.append(", prs AS MATERIALIZED (SELECT a.vec_id AS ka, b.vec_id AS kb, " +
       "a.cell AS cell, list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) AS cosine " +
       "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
@@ -314,9 +328,9 @@ object OracleGen {
   }
 
   def ivfTopKSql(numCentroids: Int = 16, nprobe: Int = 4, k: Int = 5,
-      numQueries: Int = 20, lloydIters: Int = 5): String = {
+      numQueries: Int = 20, lloydIters: Int = 5, sampleCap: Int = 4096): String = {
     val sb = new StringBuilder(embHead)
-    sb.append(coarseCtes(numCentroids, lloydIters))
+    sb.append(coarseCtes(numCentroids, lloydIters, sampleCap))
     sb.append(s", q AS MATERIALIZED (SELECT vec_id FROM e ORDER BY vec_id LIMIT $numQueries)")
     sb.append(", probes AS MATERIALIZED (SELECT vec_id AS query_id, c AS cell FROM (" +
       "SELECT df.vec_id, df.c, row_number() OVER (PARTITION BY df.vec_id ORDER BY d, c) AS rn " +

@@ -157,15 +157,27 @@ object Quality {
       .select("doc_id", "text").as[(Long, String)]
 
     // Column-predicate filter (not a typed lambda) so the eval fetch
-    // pushes down to the parquet scan instead of deserializing the corpus
-    val evalDocs = TableIO(spark, sfDir).read("documents")
+    // pushes down to the parquet scan instead of deserializing the corpus.
+    // Driver state is BOUNDED (VERDICT r4 #5): the span stubs are cut to
+    // `spanWords` words BEFORE collect (same trick as the Bloom face) and
+    // the shingle set is computed distributed and collected as bare Long
+    // hashes — full eval texts never reach the driver on this path either.
+    val evalRows = TableIO(spark, sfDir).read("documents")
       .where(col("doc_id") < evalSetSize)
+    val evalSpans: Map[Long, String] = evalRows
+      .select(col("doc_id"), expr(
+        s"array_join(slice(filter(split(text, ' '), w -> w != ''), 1, $spanWords), ' ')").as("span"))
+      .as[(Long, String)]
+      .collect().toMap
+    // the splice plant addresses eval ids 0..evalSetSize-1 by construction
+    // — fail loud on the driver instead of NoSuchElementException on an
+    // executor if the corpus is missing one (ADVICE r4, substringSpans)
+    require(evalSpans.size == evalSetSize,
+      s"decontaminate plant needs doc_ids 0..${evalSetSize - 1}; found ${evalSpans.size}")
+    val evalShingles: Set[Long] = evalRows
       .select("doc_id", "text").as[(Long, String)]
-      .collect().sortBy(_._1)
-    val evalSpans: Map[Long, String] =
-      evalDocs.map { case (id, t) => id -> splitWords(t).take(spanWords).mkString(" ") }.toMap
-    val evalShingles: Set[Long] =
-      evalDocs.iterator.flatMap { case (_, t) => shingleSet(splitWords(t), nWords) }.toSet
+      .flatMap { case (_, t) => shingleSet(splitWords(t), nWords).iterator }
+      .distinct().collect().toSet
     val bcSpans = spark.sparkContext.broadcast(evalSpans)
     val bcSet = spark.sparkContext.broadcast(evalShingles)
 

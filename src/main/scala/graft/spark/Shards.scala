@@ -116,9 +116,12 @@ object Shards {
       .withColumn("end_tok", sum(col("n_tokens")).over(w))
       .select(col("shard"), col("doc_id"), col("n_tokens"),
         (col("end_tok") - col("n_tokens")).as("start_tok"),
-        ((col("end_tok") - col("n_tokens")) / seqLen).cast("long").as("seq_first"),
-        (greatest(col("end_tok") - 1, col("end_tok") - col("n_tokens")) / seqLen)
-          .cast("long").as("seq_last"))
+        // exact BIGINT division (`div`), matching the oracle's `//`: a
+        // DOUBLE round-trip loses exactness once end_tok exceeds 2^53,
+        // which the 100 TB contract must not assume away (ADVICE r4)
+        expr(s"(end_tok - n_tokens) div $seqLen").as("seq_first"),
+        expr(s"greatest(end_tok - 1, end_tok - n_tokens) div $seqLen")
+          .as("seq_last"))
       .withColumn("crosses",
         (col("seq_first") =!= col("seq_last")).cast("long"))
   }
