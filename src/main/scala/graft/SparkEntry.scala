@@ -604,6 +604,12 @@ object SparkEntry {
     // shape that survives where correlated subqueries and theta-joins
     // can't); oracle = DuckDB's NATIVE ASOF JOIN, a different algorithm
     "q_asof_join" -> ((s, dir) => Temporal.asofJoin(s, dir)),
+    // the streaming as-of face driver-verified: collect-free file-source
+    // replay in event-time-sliced micro-batches (the per-user in-order
+    // contract), so it shares the batch face's independent native ASOF
+    // JOIN oracle — the temporal family's streaming mirror gets its own
+    // CORRECTNESS row
+    "streaming_asof" -> ((s, dir) => StreamingAsOf.replay(s, dir)),
     // range join via window-width time bins (equi-join on (user, bin),
     // probe expands 2×, residual range runs inside the aggregate);
     // oracle = the naive inequality join the binned plan must agree with
@@ -1418,6 +1424,7 @@ object SparkEntry {
         "SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
         "FROM events) t WHERE rn = 1"),
     "q_asof_join" -> graft.spark.Temporal.asofJoinSql(),
+    "streaming_asof" -> graft.spark.Temporal.asofJoinSql(),
     "q_range_join" -> graft.spark.Temporal.rangeJoinSql(),
     )
   }

@@ -109,28 +109,11 @@ object StreamingNearDup {
           .otherwise(col("doc_id") % modClasses))
       .withColumn("ts", timestamp_millis(lit(t0) + col("cls") * stepMs))
       .select(col("doc_id"), col("text"), col("ts"), col("cls"))
-    val root = java.nio.file.Files.createTempDirectory("neardup_replay_")
-    val streamDir = root.resolve("stream")
-    java.nio.file.Files.createDirectories(streamDir)
-    (0 until modClasses).foreach { c =>
-      val stage = root.resolve(s"stage$c").toString
-      classed.where(col("cls") === c).drop("cls")
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .head.toPath
-      val dst = streamDir.resolve(f"class$c%02d.parquet")
-      java.nio.file.Files.move(part, dst)
-      // strictly increasing mtimes: the file source (latestFirst=false)
-      // orders initial files by modification time, which is the
-      // micro-batch order the event-time watermark contract needs
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000L + c * 60000L))
-    }
+    val streamDir = StreamingExtract.stageReplayFiles(classed, modClasses)
     val src = spark.readStream
       .schema(classed.drop("cls").schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
+      .parquet(streamDir)
     val name = "neardup_replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = detect(src)

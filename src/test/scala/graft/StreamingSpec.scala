@@ -317,6 +317,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.groupBy(_._2).forall(_._2.size <= quota))
   }
 
+  test("streaming as-of enrichment equals the batch as-of join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+
+    // feed the real events table in 3 event-time-ordered micro-batches
+    // (the operator's documented per-user in-order contract); ts rides
+    // as epoch µs because the parquet column is NTZ
+    val events = s.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) AS us")
+      .as[(Long, Long, String, Long)]
+      .collect().sortBy(e => (e._4, e._1)).toSeq
+
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val q = graft.spark.StreamingAsOf
+      .enrich(stream.toDF().toDF("event_id", "user_id", "event_type", "us")
+        .selectExpr("event_id", "user_id", "event_type", "timestamp_micros(us) AS ts"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    events.grouped(math.max(events.size / 3, 1)).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = s.table("asof_stream")
+      .as[graft.spark.AsOfEnriched].collect()
+      .map(r => (r.event_id, r.user_id, r.err_us, r.purchase_id, r.lag_us)).toSet
+    val batch = graft.spark.Temporal.asofJoin(s, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.exists(_._4 >= 0),
+      "fixture has no enriched probes — vacuous")
+    assert(streamed == batch,
+      s"streaming != batch as-of: missing ${(batch -- streamed).take(5)}, extra ${(streamed -- batch).take(5)}")
+  }
+
   test("streaming KL drift monitor: final snapshot per source equals the batch gate") {
     val s = spark
     import s.implicits._
