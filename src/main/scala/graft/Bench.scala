@@ -49,10 +49,17 @@ object Bench {
     // warmup: JIT + codegen + parquet footer caches
     extractionThroughput(spark, sfDir, turnsPerDoc = 1, buckets = cpus.toInt)
 
+    // min-of-N per query (VERDICT r4 #6): a single contended sample on
+    // this shared machine can inflate one query 4-6× and pollute the
+    // round artifact; the min of 3 attempts is stable across invocations
+    val perQueryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to perQueryRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
 
     // headline: min-of-3 at a workload big enough to dominate fixed costs

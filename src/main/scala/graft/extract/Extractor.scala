@@ -679,6 +679,50 @@ object Extractor {
     }
   }
 
+  // ---------- debug helpers (F9 describe, T2 top-5 slice) ----------
+
+  /** Debug node-path string — the reference's `describe`
+    * (/root/reference/readability/readability.py:22-33): tag plus `#id`
+    * and `.class` (spaces → dots), a leading `div` elided before the
+    * marker, and — while `depth` > 0 and a parent exists — the parent's
+    * description appended after " - ". Debug-only (F9): never on the
+    * extraction path; used by [[debugCandidates]] and RegressionSpec
+    * failure messages to name a diverging candidate the way the
+    * reference's logs would. */
+  def describe(node: Node, depth: Int = 1): String = {
+    if (node == null) return "[null]"
+    if (!node.isElement) return s"[${node.tag}]"
+    var name = node.tag
+    val id = node.attrOr("id", "")
+    if (id.nonEmpty) name += "#" + id
+    val cls = node.attrOr("class", "")
+    if (cls.nonEmpty) name += "." + cls.replace(" ", ".")
+    if (name.length >= 4 && (name.substring(0, 4) == "div#" || name.substring(0, 4) == "div."))
+      name = name.substring(3)
+    if (depth > 0 && node.parent != null)
+      name + " - " + describe(node.parent, depth - 1)
+    else name
+  }
+
+  /** Top-`n` candidate debug slice — the reference's per-extraction log
+    * line (readability.py:441-443, T2): run the ruthless preprocessing
+    * and scoring passes of [[getArticle]] on a fresh parse and name the
+    * best-scored candidates via [[describe]]. Stable sort, so tied
+    * scores keep candidate-map insertion order exactly as Python's
+    * `sorted(..., reverse=True)` does. */
+  def debugCandidates(html: String, opts: ExtractOptions = ExtractOptions(),
+      n: Int = 5): Seq[(String, Double)] = {
+    val doc = parse(html, opts.url)
+    doc.findAll("script").foreach(_.dropTree())
+    doc.findAll("style").foreach(_.dropTree())
+    doc.findAll("body").foreach(_.setAttr("id", "readabilityBody"))
+    removeUnlikelyCandidates(doc)
+    transformDoubleBreaks(doc)
+    transformMisusedDivs(doc)
+    scoreParagraphs(doc).toSeq.sortBy { case (_, s) => -s }.take(n)
+      .map { case (e, s) => (describe(e, depth = 1), s) }
+  }
+
   // ---------- engine addition: text + spans ----------
 
   /** Tags that do NOT force a word boundary in extracted text. Everything

@@ -101,10 +101,16 @@ class RegressionSpec extends AnyFunSuite {
         val diffAt = a.zip(b).indexWhere { case (x, y) => x != y }
         val at = if (diffAt < 0) math.min(a.length, b.length) else diffAt
         val ctx = 100
+        // name the page's top candidates the way the reference's debug
+        // log would (describe/top-5, readability.py:22-33,441-443) — the
+        // first thing to read when a fixture drifts is which node won
+        val top = Extractor.debugCandidates(original, ExtractOptions(url = url))
+          .map { case (d, s) => f"$s%.2f $d" }.mkString("; ")
         fail(
           s"""|text mismatch at char $at (got ${a.length} chars, want ${b.length})
               |got : …${a.slice(math.max(0, at - ctx), at + ctx)}…
-              |want: …${b.slice(math.max(0, at - ctx), at + ctx)}…""".stripMargin)
+              |want: …${b.slice(math.max(0, at - ctx), at + ctx)}…
+              |top candidates: $top""".stripMargin)
       }
     }
   }
