@@ -218,7 +218,22 @@ object TranscriptGen {
 
   /** The transcript table: `turnsPerDoc` turns per source document
     * (volume multiplier for the bench; 1 for correctness queries). */
-  def turns(spark: SparkSession, sfDir: String, turnsPerDoc: Int = 1): Dataset[Turn] = {
+  def turns(spark: SparkSession, sfDir: String, turnsPerDoc: Int = 1): Dataset[Turn] =
+    turnsWith(spark, sfDir, turnsPerDoc, convOf)
+
+  /** Skew-stress transcript table (VERDICT r4 #3): every document with
+    * doc_id % megaMod == 0 is reassigned to ONE mega-conversation, so a
+    * single conv_id carries ~1/megaMod of all turns — the adversarial
+    * long-conversation shape the bucket salt exists for. SkewSpec pins
+    * that the salted bucket key bounds this skew while the unsalted
+    * conv_id hash concentrates it; SkewBench measures it. */
+  def skewedTurns(spark: SparkSession, sfDir: String, turnsPerDoc: Int = 1,
+      megaMod: Int = 5): Dataset[Turn] =
+    turnsWith(spark, sfDir, turnsPerDoc,
+      id => if (id % megaMod == 0) "conv-mega" else convOf(id))
+
+  private def turnsWith(spark: SparkSession, sfDir: String, turnsPerDoc: Int,
+      conv: Long => String): Dataset[Turn] = {
     import spark.implicits._
     // the source parquet is a single small file (one scan task); spread the
     // docs first so HTML generation runs at full parallelism — a bench-input
@@ -234,7 +249,7 @@ object TranscriptGen {
           if (role == "assistant") htmlWrap(docId, text)
           else text // plain text: parses to a DOM with no candidates
         Turn(
-          conv_id = convOf(docId),
+          conv_id = conv(docId),
           turn_idx = (docId % 1000).toInt * turnsPerDoc + i,
           role = role,
           text = payload,
