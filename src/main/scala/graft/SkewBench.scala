@@ -53,8 +53,13 @@ object SkewBench {
     val tpd = sys.env.getOrElse("SPARK_GRAFT_TPD", "200").toInt
     // ONE logical bucket layout across both sizes (buckets are the
     // data-level lineage/resume contract, not a per-cluster knob), sized
-    // so the salt is live: saltFor(32) = 4
-    val buckets = 32
+    // B >> cores as at production scale: the salt bounds a hot bucket to
+    // (1-f) + f*B/salt of the mean REGARDLESS of B (B/salt is fixed at 8
+    // by saltFor), but FIFO wave-packing of those hot buckets only
+    // amortizes when each core runs many waves — at B = 4*cores a 2.4x
+    // bucket can stretch the last wave by its full excess (measured:
+    // 0.667 N->4N at B=32 on 8 cores vs 16 waves/core here)
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "128").toInt
 
     def cpuStat(): (Long, Long) = {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
@@ -133,6 +138,6 @@ object SkewBench {
         s""""unsalted_task_max_over_fairshare":${f"${unRatio._2}%.2f"},""" +
         s""""unsalted_penalty":${f"${unSec / med.r4._2}%.2f"},""" +
         s""""steal_n":${f"${med.rN._3}%.4f"},"steal_4n":${f"${med.r4._3}%.4f"},""" +
-        s""""pairs":${pairs.length},"sf":"$sfDir","tpd":$tpd}""")
+        s""""pairs":${pairs.length},"buckets":$buckets,"sf":"$sfDir","tpd":$tpd}""")
   }
 }

@@ -257,6 +257,9 @@ object SparkEntry {
 
     // ---- dedup family ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // canonical-URL dedup: the URL-level pass that runs before content
+    // dedup (tracking params / fragments / case / default ports)
+    "dedup_url" -> ((s, dir) => Dedup.urlDedup(s, dir)),
     // exact-substring spans (Lee et al. 2022 suffix-array family as
     // distributed k-gram anchors): planted cross-doc 25-word runs plus
     // the corpus's natural exact dups must both surface as merged spans
@@ -348,6 +351,9 @@ object SparkEntry {
 
     // ---- corpus quality / curation (Gopher/C4-style) ----
     "quality_signals" -> ((s, dir) => Quality.signals(s, dir)),
+    // line-level repetition (Gopher table A1's other half; signals()
+    // covers the word/n-gram rules)
+    "quality_repetition" -> ((s, dir) => Quality.repetitionSignals(s, dir)),
     "pii_scrub" -> ((s, dir) => Quality.piiScrub(s, dir)),
     "sample_per_domain" -> ((s, dir) => Quality.samplePerDomain(s, dir)),
     // temperature-based mixture reweighting (α=0.5): deterministic
@@ -948,10 +954,14 @@ object SparkEntry {
         "FROM documents"),
     "dedup_exact" ->
       "SELECT md5(text) AS h, COUNT(*) AS cnt, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text)",
+    "dedup_url" -> graft.spark.Dedup.urlDedupSql(),
     // Gopher/C4-style quality signals: per-row list algebra; every ratio
     // is the same single int/int double division the Scala kernel does,
     // and the keep flag compares those doubles to the shared literals.
     "quality_signals" -> (qualityCtes("text", "") + "SELECT * FROM q"),
+    // duplicate-line repetition: same line slicing, plant, beyond-first
+    // counting and double divisions as the Scala kernel
+    "quality_repetition" -> graft.spark.Quality.repetitionSql(),
     // The composed pipeline oracle: the roundtrip closed form feeds the
     // quality CTEs, keepers join back for source, the quota window uses
     // the same Hash61.mix rank.

@@ -661,4 +661,71 @@ object Dedup {
           (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
       .where(col("jaccard") > 0.2)
   }
+
+  // ── Canonical-URL dedup (the CommonCrawl-style URL-level pass that
+  // runs BEFORE any content dedup: tracking params, fragments, case and
+  // default ports must not make one page look like five) ──────────────
+  //
+  // The corpus has no URL column, so the variants are planted closed-form
+  // (like base_url / pii_scrub): five docs share one article key
+  // (doc_id / 5) and each wears a different non-canonical dressing by
+  // doc_id % 5 — plain / uppercased / default port + fragment /
+  // utm-tracking query / trailing slash. Canonicalization is pure column
+  // algebra (codegen'd regexp/lower — no UDF), and every pattern is in
+  // the shared Java/RE2 subset with no replacement backrefs, so the
+  // DuckDB oracle runs the SAME pattern strings.
+
+  /** The planted raw URL for a document (Spark Column). */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    // exact integer division (matching the oracle's //), never the
+    // double-promoting `/` that drifts past 2^53
+    val k = expr("doc_id div 5")
+    val base = concat(lit("http://example.com/articles/"), k)
+    when(pmod(col("doc_id"), lit(5)) === 0, base)
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("HTTP://EXAMPLE.COM/articles/"), k))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("http://example.com:80/articles/"), k, lit("#section-2")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(base, lit("/")))
+  }
+
+  /** Canonicalize a URL column: drop the fragment, drop an all-tracking
+    * query string, lowercase, strip the default port, strip one trailing
+    * slash. Order matters (the fragment can follow the port). */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
+    val lowered = lower(noUtm)
+    val noPort = regexp_replace(lowered, ":80/", "/")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  /** URL-level dedup groups: canonical url → occurrence count + keeper
+    * (min doc_id), the exact shape of [[exact]]. One map-side-combined
+    * hash aggregate — no join, no window, safe at any corpus size. */
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    TableIO(spark, sfDir).read("documents")
+      .select(col("doc_id"), canonicalUrl(plantedUrl).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** SQL replay of [[urlDedup]]: same plant, same patterns, same 'g'
+    * flag semantics (anchored patterns match at most once anyway). */
+  def urlDedupSql(): String =
+    "WITH raw AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER) " +
+      "WHEN 0 THEN 'http://example.com/articles/' || (doc_id // 5) " +
+      "WHEN 1 THEN 'HTTP://EXAMPLE.COM/articles/' || (doc_id // 5) " +
+      "WHEN 2 THEN 'http://example.com:80/articles/' || (doc_id // 5) || '#section-2' " +
+      "WHEN 3 THEN 'http://example.com/articles/' || (doc_id // 5) || '?utm_source=feed&utm_campaign=x' " +
+      "ELSE 'http://example.com/articles/' || (doc_id // 5) || '/' END AS url FROM documents), " +
+      // 'g' everywhere: Spark's regexp_replace is replace-ALL, DuckDB's
+      // default is first-only — only ':80/' is unanchored, but keep the
+      // semantics identical pattern-for-pattern
+      "canon AS (SELECT doc_id, regexp_replace(regexp_replace(lower(" +
+      "regexp_replace(regexp_replace(url, '#.*$', '', 'g'), '\\?utm_[^#]*$', '', 'g')" +
+      "), ':80/', '/', 'g'), '/$', '', 'g') AS canon_url FROM raw) " +
+      "SELECT canon_url, COUNT(*) AS cnt, MIN(doc_id) AS keeper " +
+      "FROM canon GROUP BY canon_url"
 }

@@ -410,4 +410,92 @@ object Quality {
       s"CAST(floor(w / total * $b / CAST(n_tokens AS DOUBLE) * 1000.0) AS BIGINT) AS epochs_milli " +
       "FROM t"
   }
+
+  // ── Duplicate-line repetition filter (Gopher §A1.1, the LINE-level
+  // rules; signals() above covers the word/n-gram-level ones) ──────────
+  //
+  // The corpus has no newlines, so the line model is deterministic:
+  // every LineWords consecutive words form one line, and doc_id % 4
+  // plants repetition (class 0 = heavy: first line 3 more times; class
+  // 1 = mild: last line once more) so the filter is non-vacuous at any
+  // SF. Both fractions count occurrences BEYOND the first of each
+  // distinct line — sum(cnt-1)/n and sum((cnt-1)*len)/total_chars.
+
+  val LineWords = 8
+  val MaxDupLineFrac = 0.30 // Rae et al. 2021 table A1 "duplicate line fraction"
+  val MaxDupLineCharFrac = 0.20 // … "duplicate line character fraction"
+
+  final case class RepetitionSignals(
+      doc_id: Long, n_lines: Long, dup_lines: Long, dup_chars: Long,
+      dup_line_frac: Double, dup_char_frac: Double, keep: Long)
+
+  /** The pure kernel: one hash pass over the planted line list. Each
+    * fraction is a single long/long double division, so the DuckDB
+    * oracle (unnest + GROUP BY) reproduces it bit-exactly. */
+  def computeRepetition(id: Long, text: String): RepetitionSignals = {
+    val ws = splitWords(text)
+    require(ws.nonEmpty, s"doc $id has no words — the line model (and the " +
+      "oracle's lines[1]) assumes every document has at least one line")
+    val base = ws.grouped(LineWords).map(_.mkString(" ")).toArray
+    val lines = (id % 4) match {
+      case 0 => base ++ Array(base.head, base.head, base.head)
+      case 1 => base :+ base.last
+      case _ => base
+    }
+    val counts = new java.util.HashMap[String, Int]()
+    lines.foreach(l => counts.merge(l, 1, Integer.sum))
+    var dupLines = 0L
+    var dupChars = 0L
+    var totalChars = 0L
+    counts.forEach { (line, c) =>
+      totalChars += c.toLong * line.length
+      if (c > 1) {
+        dupLines += c - 1
+        dupChars += (c - 1).toLong * line.length
+      }
+    }
+    val n = lines.length.toLong
+    val lineFrac = dupLines.toDouble / n
+    val charFrac = dupChars.toDouble / totalChars
+    val keep = lineFrac <= MaxDupLineFrac && charFrac <= MaxDupLineCharFrac
+    RepetitionSignals(id, n, dupLines, dupChars, lineFrac, charFrac,
+      if (keep) 1L else 0L)
+  }
+
+  /** Per-document duplicate-line signals over the corpus. Row-local (the
+    * line multiset never leaves its document), so the plan is a parallel
+    * scan with no shuffle at any corpus size. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) => computeRepetition(id, text) }
+      .toDF()
+  }
+
+  /** SQL replay of [[repetitionSignals]]: same line slicing (DuckDB list
+    * slices are 1-based inclusive), same plant, same beyond-first
+    * counting, same double divisions and keep literals. */
+  def repetitionSql(): String =
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS lst FROM documents), " +
+      s"l0 AS (SELECT doc_id, list_transform(range(CAST(ceil(len(lst) / $LineWords.0) AS BIGINT)), " +
+      s"i -> array_to_string(lst[i * $LineWords + 1 : i * $LineWords + $LineWords], ' ')) AS lines FROM w), " +
+      "pl AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 0 THEN list_concat(lines, [lines[1], lines[1], lines[1]]) " +
+      "WHEN 1 THEN list_concat(lines, [lines[len(lines)]]) " +
+      "ELSE lines END AS lines FROM l0), " +
+      "u AS (SELECT doc_id, unnest(lines) AS line FROM pl), " +
+      "g AS (SELECT doc_id, line, COUNT(*) AS cnt, len(line) AS ln FROM u GROUP BY doc_id, line), " +
+      "a AS (SELECT doc_id, SUM(cnt) AS n_lines, " +
+      "SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS dup_lines, " +
+      "SUM(cnt * ln) AS total_chars, " +
+      "SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * ln ELSE 0 END) AS dup_chars " +
+      "FROM g GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, " +
+      "CAST(dup_lines AS BIGINT) AS dup_lines, CAST(dup_chars AS BIGINT) AS dup_chars, " +
+      "CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac, " +
+      "CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS dup_char_frac, " +
+      "CAST(CASE WHEN CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= " +
+      s"$MaxDupLineFrac AND CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) <= " +
+      s"$MaxDupLineCharFrac THEN 1 ELSE 0 END AS BIGINT) AS keep FROM a"
 }

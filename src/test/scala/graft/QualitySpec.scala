@@ -148,6 +148,50 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "extract → quality → quota must shuffle only for the two-phase quota\n" + plan)
   }
 
+  test("repetition kernel matches a naive reference across line counts") {
+    val rnd = new java.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    (0 until 300).foreach { i =>
+      val id = rnd.nextInt(1000).toLong // all four plant classes swept
+      val nWords = 1 + rnd.nextInt(40) // 1..40 words = 1..5 lines
+      val text = (0 until nWords)
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val got = Quality.computeRepetition(id, text)
+      // naive reference: same line model + plant, plain collections
+      val base = text.split(" ").filter(_.nonEmpty)
+        .grouped(Quality.LineWords).map(_.mkString(" ")).toSeq
+      val lines = (id % 4) match {
+        case 0 => base ++ Seq(base.head, base.head, base.head)
+        case 1 => base :+ base.last
+        case _ => base
+      }
+      val groups = lines.groupBy(identity).values.toSeq
+      val dupLines = groups.map(g => g.size - 1).filter(_ > 0).sum.toLong
+      val dupChars = groups.filter(_.size > 1)
+        .map(g => (g.size - 1).toLong * g.head.length).sum
+      val total = lines.map(_.length.toLong).sum
+      assert(got.n_lines == lines.size && got.dup_lines == dupLines &&
+        got.dup_chars == dupChars, s"iter $i id $id text '$text'")
+      assert(got.dup_line_frac == dupLines.toDouble / lines.size)
+      assert(got.dup_char_frac == dupChars.toDouble / total)
+    }
+  }
+
+  test("repetition filter discriminates by plant class and is row-local") {
+    val df = Quality.repetitionSignals(spark, sfDir)
+    assert(!finalPlan(df).contains("Exchange"),
+      "duplicate-line signals are row-local")
+    val byClass = df.select("doc_id", "keep").collect()
+      .groupBy(r => r.getLong(0) % 4)
+      .map { case (c, rs) => c -> rs.count(_.getLong(1) == 1L).toDouble / rs.length }
+    // heavy plant mostly rejected, clean classes untouched, mild between
+    assert(byClass(0L) < 0.2, s"heavy-dup class mostly kept: ${byClass(0L)}")
+    assert(byClass(2L) == 1.0 && byClass(3L) == 1.0,
+      s"clean classes must all pass: $byClass")
+    assert(byClass(1L) > byClass(0L) && byClass(1L) < 1.0,
+      s"mild class should sit between: $byClass")
+  }
+
   test("plans: row-local ops never shuffle; the sample's two quota windows do") {
     assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
       "quality signals are row-local")
