@@ -277,6 +277,20 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
+    // the near-dup pipeline's END PRODUCT: LSH pairs → connected
+    // components → keep the min doc_id of each cluster — the rewrite a
+    // production run ships (dedup_rewrite is the exact-dup analogue)
+    "dedup_neardup_rewrite" -> ((s, dir) => {
+      val docs = TableIO(s, dir).read("documents")
+      val keep = Dedup.clusters(s, dir)
+        .groupBy("cluster_id")
+        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+      docs.join(keep.select("doc_id"), "doc_id").select(col("doc_id"), col("n_chars"))
+    }),
+    // inter-source 3-shingle Jaccard matrix: which crawl sources are
+    // near-copies of each other (mirror/syndication audit) — the
+    // corpus-level view the doc-pair dedup family doesn't give
+    "source_overlap" -> ((s, dir) => TextAnalysis.sourceOverlap(s, dir)),
 
     // ---- similarity search ----
     "ann_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -616,6 +630,16 @@ object SparkEntry {
     // JOIN oracle — the temporal family's streaming mirror gets its own
     // CORRECTNESS row
     "streaming_asof" -> ((s, dir) => StreamingAsOf.replay(s, dir)),
+    // the per-domain ingest quota driver-verified: collect-free replay
+    // in doc_id-sliced micro-batches; event time = timestamp_micros(
+    // doc_id) makes arrival order event-time order, so the arrival cap
+    // equals the batch rank window the oracle states
+    "streaming_quota" -> ((s, dir) => StreamingQuota.replay(s, dir)),
+    // the stateful sessionizer driver-verified: time-sliced replay plus
+    // a two-step sentinel flush (watermark advance, then the batch in
+    // which event-time timeouts fire); shares the batch lag-window
+    // oracle minus its batch-only session_idx
+    "streaming_sessionize" -> ((s, dir) => StreamingSessionize.replay(s, dir)),
     // range join via window-width time bins (equi-join on (user, bin),
     // probe expands 2×, residual range runs inside the aggregate);
     // oracle = the naive inequality join the binned plan must agree with
@@ -652,6 +676,23 @@ object SparkEntry {
     * relation) — shared by the pair oracle, the cluster oracle, and the
     * streaming replay oracle (which passes its planted-union relation
     * as `src`). */
+  /** Connected components of the minhash pair graph: recursive transitive
+    * closure, cluster = min reachable id (the unique fixpoint the
+    * iterative Spark propagation also lands on). Shared by
+    * `dedup_clusters` and the keep-one `dedup_neardup_rewrite`. */
+  private def dedupClustersSql: String =
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b " +
+      "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
+      "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id), " +
+      "eg AS (SELECT doc_a AS src, doc_b AS dst FROM prs " +
+      "UNION ALL SELECT doc_b, doc_a FROM prs), " +
+      "rc AS (SELECT src AS id, dst AS r FROM eg " +
+      "UNION SELECT rc.id, eg.dst FROM rc JOIN eg ON eg.src = rc.r), " +
+      "cl AS (SELECT id, least(id, min(r)) AS cluster FROM rc GROUP BY id) " +
+      "SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS cluster_id " +
+      "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"
+
   private def minhashCtes: String = minhashCtesFrom("documents")
 
   private def minhashCtesFrom(src: String): String = {
@@ -785,18 +826,13 @@ object SparkEntry {
     // Connected components of the same pair graph: recursive transitive
     // closure, cluster = min reachable id (the unique fixpoint the
     // iterative Spark propagation also lands on).
-    "dedup_clusters" ->
-      (minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        ", prs AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b " +
-        "FROM bf a JOIN bf b2 ON a.band_idx = b2.band_idx " +
-        "AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id), " +
-        "eg AS (SELECT doc_a AS src, doc_b AS dst FROM prs " +
-        "UNION ALL SELECT doc_b, doc_a FROM prs), " +
-        "rc AS (SELECT src AS id, dst AS r FROM eg " +
-        "UNION SELECT rc.id, eg.dst FROM rc JOIN eg ON eg.src = rc.r), " +
-        "cl AS (SELECT id, least(id, min(r)) AS cluster FROM rc GROUP BY id) " +
-        "SELECT d.doc_id, CAST(coalesce(cl.cluster, d.doc_id) AS BIGINT) AS cluster_id " +
-        "FROM documents d LEFT JOIN cl ON cl.id = d.doc_id"),
+    "dedup_clusters" -> dedupClustersSql,
+    // the clusters APPLIED: keep the min doc_id per cluster (the same
+    // fixpoint labeling, wrapped in a keep-one join)
+    "dedup_neardup_rewrite" ->
+      ("SELECT d.doc_id, d.n_chars FROM documents d JOIN " +
+        s"(SELECT MIN(doc_id) AS doc_id FROM ($dedupClustersSql) lab " +
+        "GROUP BY cluster_id) k ON d.doc_id = k.doc_id"),
     // Exact-substring span replay: same splice plant, same 20-gram
     // anchors in GF(2^61-1), occurrence count >= 2, gaps-and-islands
     // merge of overlapping windows.
@@ -1435,6 +1471,23 @@ object SparkEntry {
         "FROM events) t WHERE rn = 1"),
     "q_asof_join" -> graft.spark.Temporal.asofJoinSql(),
     "streaming_asof" -> graft.spark.Temporal.asofJoinSql(),
+    // arrival-ordered cap == batch rank window under the replay's
+    // event-time order (ts = timestamp_micros(doc_id))
+    "streaming_quota" ->
+      ("SELECT doc_id, source, CAST(rn AS BIGINT) AS admit_rank FROM (" +
+        "SELECT doc_id, source, ROW_NUMBER() OVER (" +
+        "PARTITION BY source ORDER BY doc_id) AS rn FROM documents) t " +
+        "WHERE rn <= 10"),
+    // the batch lag-window sessionization, minus its batch-only
+    // session_idx (the streaming face numbers sessions implicitly)
+    "streaming_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT user_id, event_id, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e), " +
+        "f AS (SELECT user_id, event_id, us, CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS ns FROM l), " +
+        "s AS (SELECT user_id, event_id, us, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f) " +
+        "SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events " +
+        "FROM s GROUP BY user_id, session_idx"),
+    "source_overlap" -> graft.spark.TextAnalysis.sourceOverlapSql(),
     "q_range_join" -> graft.spark.Temporal.rangeJoinSql(),
     )
   }

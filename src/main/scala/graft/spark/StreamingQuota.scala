@@ -30,6 +30,40 @@ final case class AdmittedDoc(doc_id: Long, source: String, admit_rank: Long)
   */
 object StreamingQuota {
 
+  /** Driver-verification REPLAY face: run the documents table through
+    * [[admit]] as a real micro-batched stream — `nBatches` doc_id-range
+    * slices staged as one parquet file each
+    * ([[StreamingExtract.stageReplayFiles]], collect-free), streamed
+    * with `maxFilesPerTrigger = 1`. The synthetic event time is
+    * `timestamp_micros(doc_id)` (the corpus has no ingest timestamp), so
+    * arrival order IS event-time order — the parity contract under which
+    * the arrival-ordered cap equals the batch rank window, giving this
+    * face a plain DuckDB oracle: `row_number() OVER (PARTITION BY source
+    * ORDER BY doc_id) <= quota`. Bounded driver actions only (one
+    * min/max row). */
+  def replay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      quota: Int = 10, nBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = TableIO(spark, sfDir).read("documents")
+      .selectExpr("doc_id", "source", "timestamp_micros(doc_id) AS ts")
+    val r = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (mn, span) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+    val classed = docs.withColumn("cls", least(
+      floor((col("doc_id") - mn) * nBatches / span), lit(nBatches - 1L)))
+    val streamDir = StreamingExtract.stageReplayFiles(classed, nBatches)
+    val src = spark.readStream
+      .schema(classed.drop("cls").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    val name = "quota_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = admit(src, quota)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select("doc_id", "source", "admit_rank")
+  }
+
   /** docs: streaming DataFrame with (doc_id: Long, source: String,
     * ts: Timestamp). Emits admitted docs with their 1-based per-source
     * admission rank, in append mode. */

@@ -36,6 +36,52 @@ object StreamingSessionize {
 
   val GapUs: Long = 3600L * 1000000L
 
+  /** Driver-verification REPLAY face: run the events table through
+    * [[sessionize]] as a real micro-batched stream — `nBatches`
+    * event-time slices staged as one parquet file each
+    * ([[StreamingExtract.stageReplayFiles]], collect-free), streamed with
+    * `maxFilesPerTrigger = 1` — then TWO sentinel flush batches
+    * (`user_id = -1`, far-future event time): the first advances the
+    * watermark past every open session's `last + gap`, the second gives
+    * the engine a batch in which those event-time timeouts fire (the
+    * same two-step flush StreamingSpec uses). Time-sliced batching keeps
+    * every user's arrivals in event-time order (the parity contract), so
+    * the closed sessions equal the batch lag-window [[sessionStats]] and
+    * share its DuckDB oracle (minus the batch-only session_idx column).
+    * Bounded driver actions only (one max row). */
+  def replay(spark: SparkSession, sfDir: String,
+      nBatches: Int = 3): DataFrame = {
+    val ev = TableIO(spark, sfDir).read("events")
+      .selectExpr("user_id", "event_id", "cast(ts as timestamp) AS ts",
+        "unix_micros(cast(ts as timestamp)) AS us")
+    val mx = ev.agg(min("us"), max("us")).head()
+    val (mn, span) = (mx.getLong(0), mx.getLong(1) - mx.getLong(0) + 1)
+    val classed = ev
+      .withColumn("cls", least(
+        floor((col("us") - mn) * nBatches / span), lit(nBatches - 1L)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("cls"))
+    // two flush classes: sentinel 30 days past the corpus horizon
+    val flushUs = mx.getLong(1) + 30L * 24 * 3600 * 1000000L
+    val sentinels = spark.range(2).selectExpr(
+      "-1L AS user_id", "id AS event_id",
+      s"timestamp_micros(${flushUs}L) AS ts",
+      s"CAST($nBatches AS BIGINT) + id AS cls")
+    val streamDir = StreamingExtract.stageReplayFiles(
+      classed.unionByName(sentinels), nBatches + 2)
+    val src = spark.readStream
+      .schema(classed.drop("cls").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    val name = "sess_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionize(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).where(col("user_id") >= 0)
+      .select("user_id", "start_us", "end_us", "n_events")
+  }
+
   /** events: streaming DataFrame with (user_id: Long, event_id: Long,
     * ts: Timestamp) columns. Emits closed sessions (append mode). */
   def sessionize(events: DataFrame, gapUs: Long = GapUs,

@@ -200,4 +200,66 @@ object TextAnalysis {
         (id, h, words.length.toLong)
       }.toDF("doc_id", "fingerprint", "n_words")
   }
+
+  /** Inter-source content-overlap matrix: Jaccard similarity of the
+    * DISTINCT word-3-shingle sets of every source pair — the corpus-level
+    * diagnostic that tells a curation run which crawl sources are
+    * near-copies of each other (mirror domains, syndication networks)
+    * BEFORE doc-pair dedup spends a shuffle on them.
+    *
+    * Plan shape and why it scales: shingle hashing is row-local
+    * ([[Dedup.shingleHashes]], the same GF(2^61-1) kernel every
+    * signature operator shares); `distinct(source, shingle)` collapses
+    * corpus size to (sources × shingle-space) in ONE exchange with
+    * map-side partial aggregation; the pair counts come from a self
+    * equi-join on the shingle hash — an inverted-index meet whose
+    * per-key fanout is bounded by #sources² (a fixed catalog, ~10³ at
+    * web scale), never by corpus size; and the final matrix is
+    * #sources² rows. No all-pairs document scan exists at any stage.
+    * Pairs that share nothing still appear (jaccard 0) via the
+    * broadcast cross of the tiny per-source count table — an absent row
+    * and a zero row mean different things in a source audit. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcShingles = TableIO(spark, sfDir).read("documents")
+      .select("source", "text").as[(String, String)]
+      .flatMap { case (src, text) =>
+        Dedup.shingleHashes(text).distinct.map(h => (src, h)) }
+      .toDF("source", "sh")
+      .distinct()
+    val counts = srcShingles.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+    val inter = srcShingles.select(col("sh"), col("source").as("source_a"))
+      .join(srcShingles.select(col("sh"), col("source").as("source_b")), "sh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a")))
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))),
+        col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  /** DuckDB replay of [[sourceOverlap]]: same Hash61 3-shingles, same
+    * distinct-set Jaccard, same zero-pair completion. */
+  def sourceOverlapSql(): String =
+    "WITH wdocs AS (SELECT source, list_transform(" +
+      "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''), " +
+      s"w -> ${Hash61.wordHashSql("w")}) AS whs FROM documents), " +
+      "g AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(whs) - 1), " +
+      s"i -> ${Hash61.shingle3Sql("whs[i]", "whs[i+1]", "whs[i+2]")})) AS sh " +
+      "FROM wdocs WHERE len(whs) >= 3), " +
+      "c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source), " +
+      "i AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared " +
+      "FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT ca.source AS source_a, cb.source AS source_b, " +
+      "ca.n AS n_a, cb.n AS n_b, COALESCE(i.n_shared, 0) AS n_shared, " +
+      "CAST(COALESCE(i.n_shared, 0) AS DOUBLE) / (ca.n + cb.n - COALESCE(i.n_shared, 0)) AS jaccard " +
+      "FROM c ca JOIN c cb ON ca.source < cb.source " +
+      "LEFT JOIN i ON i.source_a = ca.source AND i.source_b = cb.source"
 }

@@ -50,6 +50,19 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("near-dup rewrite keeps exactly the min doc of every cluster") {
+    val s = spark
+    import s.implicits._
+    val labels = Dedup.clusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val kept = SparkEntry.queries("dedup_neardup_rewrite")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val wantKept = labels.groupBy(_._2).values.map(_.keys.min).toSet
+    assert(kept == wantKept, "rewrite keeper set != min-per-cluster")
+    // the rewrite actually drops something (the planted near-dups bind)
+    assert(kept.size < labels.size)
+  }
+
   test("clustering is deterministic across runs") {
     val s = spark
     import s.implicits._

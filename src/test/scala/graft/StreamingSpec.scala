@@ -182,14 +182,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("replay harness is collect-free (100 TB scale pin, VERDICT r4 #1)") {
-    // the registered streaming_neardup face must never funnel the corpus
-    // through the driver: pin the absence of .collect() in the source —
+    // no registered streaming face may funnel the corpus through the
+    // driver: pin the absence of .collect() in every replay source —
     // the file-source replay pattern has no legitimate use for it
-    val src = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("src/main/scala/graft/spark/StreamingNearDup.scala")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(!src.contains(".collect()"),
-      "StreamingNearDup must not collect the corpus to the driver")
+    Seq("StreamingNearDup", "StreamingAsOf", "StreamingQuota",
+        "StreamingSessionize").foreach { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/main/scala/graft/spark/$f.scala")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(!src.contains(".collect()"),
+        s"$f must not collect the corpus to the driver")
+    }
+  }
+
+  test("quota replay face equals the batch rank window") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.spark.StreamingQuota.replay(s, sfDir, quota = 10)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val want = s.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn")
+      .where($"rn" <= 10)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // the cap binds: every source has more docs than its quota
+    assert(s.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("source").count().agg(org.apache.spark.sql.functions.min("count"))
+      .head().getLong(0) > 10)
+  }
+
+  test("sessionize replay face equals the batch session stats") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.spark.StreamingSessionize.replay(s, sfDir)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val want = graft.spark.StreamingSessionize.sessionStats(s, sfDir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"replay != batch: ${got.size} vs ${want.size} sessions")
   }
 
   test("streaming near-dup: duplicates beyond the horizon are not flagged; state evicts") {
