@@ -640,6 +640,11 @@ object SparkEntry {
     // which event-time timeouts fire); shares the batch lag-window
     // oracle minus its batch-only session_idx
     "streaming_sessionize" -> ((s, dir) => StreamingSessionize.replay(s, dir)),
+    // the KL-drift monitor driver-verified: collect-free replay, keep
+    // each source's last snapshot (largest token total) — equal to the
+    // batch gate by the shared integer-floored bucket arithmetic, so it
+    // shares corpus_kl_drift's oracle
+    "streaming_drift" -> ((s, dir) => StreamingDrift.replay(s, dir)),
     // range join via window-width time bins (equi-join on (user, bin),
     // probe expands 2×, residual range runs inside the aggregate);
     // oracle = the naive inequality join the binned plan must agree with
@@ -1488,6 +1493,7 @@ object SparkEntry {
         "SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events " +
         "FROM s GROUP BY user_id, session_idx"),
     "source_overlap" -> graft.spark.TextAnalysis.sourceOverlapSql(),
+    "streaming_drift" -> graft.spark.Curation.klDriftSql(),
     "q_range_join" -> graft.spark.Temporal.rangeJoinSql(),
     )
   }

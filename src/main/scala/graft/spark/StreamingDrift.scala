@@ -32,6 +32,47 @@ final case class DriftState(cn: Array[Long], co: Array[Long])
   */
 object StreamingDrift {
 
+  /** Driver-verification REPLAY face: run the documents table through
+    * [[monitor]] as a real micro-batched stream — `nBatches` doc_id-range
+    * slices staged as one parquet file each
+    * ([[StreamingExtract.stageReplayFiles]], collect-free), streamed with
+    * `maxFilesPerTrigger = 1` — and keep each source's LAST snapshot
+    * (the row with the largest token total: totals grow by at least one
+    * token in every batch that touches a source, so the max is unique
+    * and is the post-final-batch state). Because the snapshot arithmetic
+    * is the batch operator's exact arithmetic over the accumulated
+    * model, that last snapshot equals [[Curation.klDrift]] on the whole
+    * table and shares its DuckDB oracle. Bounded driver actions only
+    * (one min/max row). */
+  def replay(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      nBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = TableIO(spark, sfDir).read("documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val r = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (mn, span) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
+    val classed = docs.withColumn("cls", least(
+      floor((col("doc_id") - mn) * nBatches / span), lit(nBatches - 1L)))
+    val streamDir = StreamingExtract.stageReplayFiles(classed, nBatches)
+    val src = spark.readStream
+      .schema(classed.drop("cls").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    val name = "drift_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = monitor(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy("source")
+      .agg(max(struct(
+        (col("n_new_tokens") + col("n_old_tokens")).as("total"),
+        col("n_new_tokens"), col("n_old_tokens"), col("kl_unats"))).as("m"))
+      .select(col("source"), col("m.n_new_tokens"),
+        col("m.n_old_tokens"), col("m.kl_unats"))
+  }
+
   /** docs: streaming DataFrame with (doc_id: Long, source: String,
     * text: String). Emits refreshed snapshots in append mode. */
   def monitor(docs: DataFrame, numBuckets: Int = 256,

@@ -186,7 +186,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // driver: pin the absence of .collect() in every replay source —
     // the file-source replay pattern has no legitimate use for it
     Seq("StreamingNearDup", "StreamingAsOf", "StreamingQuota",
-        "StreamingSessionize").foreach { f =>
+        "StreamingSessionize", "StreamingDrift").foreach { f =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/spark/$f.scala")),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -211,6 +211,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.read.parquet(s"$sfDir/documents.parquet")
       .groupBy("source").count().agg(org.apache.spark.sql.functions.min("count"))
       .head().getLong(0) > 10)
+  }
+
+  test("drift replay face equals the batch KL gate") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.spark.StreamingDrift.replay(s, sfDir)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val want = graft.spark.Curation.klDrift(s, sfDir)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("sessionize replay face equals the batch session stats") {
