@@ -308,6 +308,15 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, dir, io)
     }),
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // PQ sibling of the IVF lifecycle: codebooks + compact codes stored
+    // once, the ADC scan reads the codes table instead of the embedding
+    // bytes, full vectors fetched only for the shortlist re-rank
+    "ann_pq_indexed" -> ((s, dir) => {
+      val io = TableIO(s,
+        java.nio.file.Files.createTempDirectory("pq_index_").toString)
+      Similarity.writePqIndex(s, dir, io)
+      Similarity.pqTopKIndexed(s, dir, io)
+    }),
     "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfpqTopK(s, dir)),
     // Default face is SUBLINEAR (nprobe=6 of 16 cells): every vector gets
     // a planted near-duplicate (halve every 9th dim — an exponent-only
@@ -1426,6 +1435,9 @@ object SparkEntry {
     // the index probe replays ivfTopK exactly (stored centroids/cells
     // round-trip parquet bit-identically)
     "ann_ivf_indexed" -> graft.spark.OracleGen.ivfTopKSql(),
+    // same oracle as ann_pq_topk: the standing index replays training,
+    // codes and ADC bit-exactly, so the probe is result-identical
+    "ann_pq_indexed" -> graft.spark.OracleGen.pqTopKSql(),
     "ann_pq_topk" -> graft.spark.OracleGen.pqTopKSql(),
     "ann_ivfpq_topk" -> graft.spark.OracleGen.ivfpqTopKSql(),
     "ann_cosine_topk" ->

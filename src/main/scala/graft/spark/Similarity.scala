@@ -266,6 +266,103 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
+  /** Build the STANDING PQ index through `io` — the PQ sibling of
+    * [[writeIvfIndex]]: train the per-subspace codebooks and encode every
+    * corpus vector ONCE per corpus snapshot. Two tables:
+    *  - `<prefix>_codebooks` (s, c, centroid double[]): m·ksub rows;
+    *  - `<prefix>_codes` (corpus_id, codes int[]): the 8-byte-per-vector
+    *    compact corpus the ADC scan reads INSTEAD of the embeddings —
+    *    at 100 TB this is the point: the per-workload scan touches the
+    *    codes table (~1% of the embedding bytes), and full vectors are
+    *    fetched only for the shortlist join. */
+  def writePqIndex(spark: SparkSession, sfDir: String, io: TableIO,
+      m: Int = 8, ksub: Int = 16, lloydIters: Int = 5, sampleCap: Int = 4096,
+      prefix: String = "pq"): Unit = {
+    import spark.implicits._
+    val emb = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+    val cb = trainPq(emb, m, ksub, lloydIters, sampleCap)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    io.write(emb.map { case (id, v) => (id, bcCb.value.encode(v)) }
+      .toDF("corpus_id", "codes"), s"${prefix}_codes",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    io.write(cb.cents.zipWithIndex.flatMap { case (subCents, s) =>
+      subCents.zipWithIndex.map { case (cv, c) => (s, c, cv) } }
+      .toSeq.toDF("s", "c", "centroid"), s"${prefix}_codebooks",
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Probe the standing [[writePqIndex]] tables: rebuild the codebook
+    * from the stored rows (a bounded collect — m·ksub rows, NOT the
+    * corpus), ADC-scan the stored CODES (the embeddings themselves are
+    * read only for the exact re-rank of the shortlist), and return the
+    * same top-k as the one-shot [[pqTopK]] — training, encoding, and
+    * ADC arithmetic are deterministic, so the result is bit-identical
+    * and shares its oracle. */
+  def pqTopKIndexed(spark: SparkSession, sfDir: String, io: TableIO,
+      shortlist: Int = 32, k: Int = 5, numQueries: Int = 20,
+      prefix: String = "pq"): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val cbRows = io.read(s"${prefix}_codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+    val m = cbRows.iterator.map(_._1).max + 1
+    val ksub = cbRows.iterator.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach { case (s, c, cv) => cents(s)(c) = cv }
+    val cb = new PqCodebook(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+
+    val queryRows = TableIO(spark, sfDir).read("embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .orderBy("vec_id").limit(numQueries)
+    val qTables = queryRows.collect().map { case (id, v) => (id, cb.adcTable(v)) }
+    val bcQ = spark.sparkContext.broadcast(qTables)
+
+    val approx = io.read(s"${prefix}_codes")
+      .as[(Long, Array[Int])].mapPartitions { it =>
+        val cbv = bcCb.value; val qts = bcQ.value
+        val heaps = scala.collection.mutable.LinkedHashMap[Long,
+          scala.collection.mutable.PriorityQueue[(Double, Long)]]()
+        it.foreach { case (cid, code) =>
+          qts.foreach { case (qid, dt) =>
+            if (cid != qid) {
+              var ad = 0.0; var s = 0
+              while (s < cbv.m) { ad += dt(s)(code(s)); s += 1 }
+              val h = heaps.getOrElseUpdate(qid,
+                scala.collection.mutable.PriorityQueue.empty[(Double, Long)])
+              h.enqueue((ad, cid))
+              if (h.size > shortlist) { h.dequeue(); () }
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (ad, cid) => (qid, cid, ad) } }
+      }.toDF("query_id", "corpus_id", "approx_d")
+
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_d"), col("corpus_id"))
+    val cand = approx.withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= shortlist)
+      .select("query_id", "corpus_id")
+
+    val corpus = normed(TableIO(spark, sfDir).read("embeddings")
+      .select(col("vec_id"), col("embedding")), "corpus_id")
+    val queries = normed(queryRows.toDF("vec_id", "embedding"), "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val scored = corpus.join(broadcast(cand), "corpus_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot("embedding", "q_embedding") /
+          (col("corpus_id_norm") * col("query_id_norm"))).as("cosine"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   // ---------- product quantization (PQ + ADC scan) ----------
 
   /** Per-subspace codebooks: `cents(s)(c)` is the c-th centroid of

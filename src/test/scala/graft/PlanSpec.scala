@@ -271,6 +271,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b, "indexed probe diverged from the one-shot ivfTopK")
   }
 
+  test("PQ indexed probe: ADC scans the stored codes, not the embedding bytes") {
+    val tmp = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val io = graft.spark.TableIO(spark, tmp)
+    graft.spark.Similarity.writePqIndex(spark, sfDir, io)
+    val df = graft.spark.Similarity.pqTopKIndexed(spark, sfDir, io)
+    val plan = finalPlan(df)
+    assert(plan.contains("pq_codes"),
+      "ADC stage must scan the stored codes table\n" + plan)
+    // embeddings appear only as the bounded query scan + shortlist
+    // re-rank — never as the ADC input
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans <= 2,
+      s"ADC must read codes; embeddings scanned $embScans times\n" + plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = graft.spark.Similarity.pqTopK(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(a == b, "indexed probe diverged from the one-shot pqTopK")
+  }
+
   test("CMS sketch: counter matrix partial-aggregates map-side before its exchange") {
     val plan = finalPlan(SparkEntry.queries("cms_heavyhitters")(spark, sfDir))
     val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
