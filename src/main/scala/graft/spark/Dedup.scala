@@ -433,6 +433,16 @@ object Dedup {
     *
     * Numerics: `dot_f64` is a strict left-to-right float→double sum,
     * bit-identical to DuckDB's `list_dot_product` oracle.
+    *
+    * Scaling the cell count: with `numCentroids` FIXED, within-cell
+    * candidate pairs grow quadratically in corpus size (measured in
+    * BENCH.md "Round 5": 4× vectors → ~16× pair work on the sf1.0
+    * sweep, the one super-linear family there). The oracle-parity
+    * faces pin 16 cells so the DuckDB replay stays tractable;
+    * production sizes cells at constant occupancy — `numCentroids ≈
+    * n / targetCellSize` (the standard IVF law) — which restores
+    * linear total candidate work at any corpus size and is exactly
+    * what this parameter is for.
     */
   def embeddingNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.95, numCentroids: Int = 16, nprobe: Int = -1,
