@@ -654,6 +654,12 @@ object SparkEntry {
     // batch gate by the shared integer-floored bucket arithmetic, so it
     // shares corpus_kl_drift's oracle
     "streaming_drift" -> ((s, dir) => StreamingDrift.replay(s, dir)),
+    // the extraction stage itself as a stream: roundtrip transcripts
+    // replayed through real file-source micro-batches and the stateless
+    // extractStream map — shares extract_roundtrip's oracle verbatim,
+    // so the driver gate pins streaming == batch for the flagship
+    // operator end-to-end
+    "streaming_extract" -> ((s, dir) => StreamingExtract.replay(s, dir, MinChars)),
     // range join via window-width time bins (equi-join on (user, bin),
     // probe expands 2×, residual range runs inside the aggregate);
     // oracle = the naive inequality join the binned plan must agree with
@@ -1506,6 +1512,12 @@ object SparkEntry {
         "FROM s GROUP BY user_id, session_idx"),
     "source_overlap" -> graft.spark.TextAnalysis.sourceOverlapSql(),
     "streaming_drift" -> graft.spark.Curation.klDriftSql(),
+    // stateless stream == batch: the roundtrip oracle, verbatim
+    "streaming_extract" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "'Heading ' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS extracted_text " +
+        s"FROM documents WHERE n_chars >= $MinChars"),
     "q_range_join" -> graft.spark.Temporal.rangeJoinSql(),
     )
   }

@@ -48,6 +48,33 @@ object StreamingExtract {
     reader.parquet(dir).as[Turn]
   }
 
+  /** Driver-verification REPLAY face: the roundtrip transcript table
+    * staged into `nBatches` doc_id-sliced parquet files (one micro-batch
+    * each, collect-free — [[stageReplayFiles]]), streamed through
+    * [[extractStream]] with `maxFilesPerTrigger = 1`, returned as a
+    * batch DataFrame (doc_id, extracted_text). The extraction stage is
+    * stateless per turn, so append mode needs no watermark and the
+    * result must equal the batch path row-for-row — the registered face
+    * shares the batch `extract_roundtrip` DuckDB oracle VERBATIM, so the
+    * driver's gate pins streaming == batch end-to-end, not just in a
+    * spec. */
+  def replay(spark: SparkSession, sfDir: String, minChars: Int,
+      nBatches: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val classed = TranscriptGen.roundtripTurns(spark, sfDir, minChars)
+      .toDF()
+      .withColumn("cls", pmod(col("turn_idx"), lit(nBatches)).cast("int"))
+    val streamDir = stageReplayFiles(classed, nBatches)
+    val name = "extract_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = extractStream(fromParquetDir(spark, streamDir, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("turn_idx").cast("long").as("doc_id"), col("extracted_text"))
+  }
+
   /** Stage `classed` — which must carry an integer column `cls` in
     * [0, nClasses) — as ONE parquet file per class under a fresh temp
     * dir, with strictly increasing modification times, and return that

@@ -186,13 +186,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // driver: pin the absence of .collect() in every replay source —
     // the file-source replay pattern has no legitimate use for it
     Seq("StreamingNearDup", "StreamingAsOf", "StreamingQuota",
-        "StreamingSessionize", "StreamingDrift").foreach { f =>
+        "StreamingSessionize", "StreamingDrift", "StreamingExtract").foreach { f =>
       val src = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"src/main/scala/graft/spark/$f.scala")),
         java.nio.charset.StandardCharsets.UTF_8)
       assert(!src.contains(".collect()"),
         s"$f must not collect the corpus to the driver")
     }
+  }
+
+  test("extract replay face equals the batch roundtrip extraction") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val minChars = 250
+    val got = StreamingExtract.replay(s, sfDir, minChars)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val opts = graft.extract.ExtractOptions()
+    val want = TranscriptGen.roundtripTurns(s, sfDir, minChars)
+      .map(t => (t.turn_idx.toLong,
+        ExtractJob.extractTurn(t, opts).extracted_text))
+      .collect().sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("quota replay face equals the batch rank window") {
