@@ -1,0 +1,72 @@
+package graft
+
+/** Optimization-round instrumentation (guide §1): NOT part of the frozen
+  * driver contract (Bench.scala is untouched). Two modes:
+  *
+  *   runMain graft.BenchExtra time q1,q2,...   — min-of-N wall per query,
+  *     timed with the noop sink (guide §1.4) so the computation, not the
+  *     count-pruned plan, is measured; also prints the count()-action
+  *     time (the driver Bench's methodology) for comparability.
+  *
+  *   runMain graft.BenchExtra plan outDir q1,q2,... — writes each query's
+  *     .explain("formatted") to outDir/<query>.txt (the plans/r06
+  *     before/after evidence).
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_EXTRA_RUNS.
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_EXTRA_RUNS", "3").toInt
+    val spark = Bench.session(cpus)
+    val mode = args.headOption.getOrElse("time")
+
+    def queriesOf(csv: String): Seq[String] =
+      if (csv == "all") SparkEntry.queries.keys.toSeq.sorted
+      else csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    mode match {
+      case "plan" =>
+        val outDir = args(1)
+        new java.io.File(outDir).mkdirs()
+        queriesOf(args(2)).foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          val w = new java.io.PrintWriter(s"$outDir/$name.txt")
+          try w.println(plan) finally w.close()
+          println(s"wrote $outDir/$name.txt")
+        }
+      case _ =>
+        // warmup: JIT + codegen + parquet footer caches
+        spark.sparkContext.setJobDescription("benchextra: warmup")
+        Bench.extractionThroughput(spark, sfDir, turnsPerDoc = 1, buckets = cpus.toInt)
+        val names = queriesOf(args.lift(1).getOrElse("all"))
+        val results = names.map { name =>
+          val fn = SparkEntry.queries(name)
+          val noop = (1 to runs).map { i =>
+            spark.sparkContext.setJobDescription(s"benchextra: $name noop#$i")
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            } catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          val cnt = (1 to runs).map { i =>
+            spark.sparkContext.setJobDescription(s"benchextra: $name count#$i")
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          println(f"$name%-32s noop=$noop%7.3f  count=$cnt%7.3f")
+          (name, noop, cnt)
+        }
+        val qs = results.map { case (k, n, c) =>
+          "\"" + k + "\":{\"noop\":" + f"$n%.3f" + ",\"count\":" + f"$c%.3f" + "}"
+        }.mkString("{", ",", "}")
+        println(s"""{"benchextra":$qs,"sf":"$sfDir","cpus":$cpus}""")
+    }
+    spark.stop()
+  }
+}

@@ -71,18 +71,8 @@ object StreamingAsOf {
         floor((col("us") - mn) * nBatches / span), lit(nBatches - 1L)))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("cls"))
-    val streamDir = StreamingExtract.stageReplayFiles(classed, nBatches)
-    val src = spark.readStream
-      .schema(classed.drop("cls").schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-    val name = "asof_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = enrich(src, probeType, buildType)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    StreamingExtract.runReplay(spark, "asof_replay_", classed, nBatches)(
+      src => enrich(src, probeType, buildType).toDF())
       .select("event_id", "user_id", "err_us", "purchase_id", "lag_us")
   }
 

@@ -53,18 +53,8 @@ object StreamingDrift {
     val (mn, span) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
     val classed = docs.withColumn("cls", least(
       floor((col("doc_id") - mn) * nBatches / span), lit(nBatches - 1L)))
-    val streamDir = StreamingExtract.stageReplayFiles(classed, nBatches)
-    val src = spark.readStream
-      .schema(classed.drop("cls").schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-    val name = "drift_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = monitor(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    StreamingExtract.runReplay(spark, "drift_replay_", classed, nBatches)(
+      src => monitor(src).toDF())
       .groupBy("source")
       .agg(max(struct(
         (col("n_new_tokens") + col("n_old_tokens")).as("total"),

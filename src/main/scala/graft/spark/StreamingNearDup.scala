@@ -109,19 +109,10 @@ object StreamingNearDup {
           .otherwise(col("doc_id") % modClasses))
       .withColumn("ts", timestamp_millis(lit(t0) + col("cls") * stepMs))
       .select(col("doc_id"), col("text"), col("ts"), col("cls"))
-    val streamDir = StreamingExtract.stageReplayFiles(classed, modClasses)
-    val src = spark.readStream
-      .schema(classed.drop("cls").schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-    val name = "neardup_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = detect(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
     // per-band re-emissions collapse, same as the batch face's distinct
-    spark.table(name).select("doc_a", "doc_b", "matching").distinct()
+    StreamingExtract.runReplay(spark, "neardup_replay_", classed, modClasses)(
+      src => detect(src).toDF())
+      .select("doc_a", "doc_b", "matching").distinct()
   }
 
   /** docs: streaming DataFrame with (doc_id: Long, text: String,

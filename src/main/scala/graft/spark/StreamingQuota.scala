@@ -50,18 +50,9 @@ object StreamingQuota {
     val (mn, span) = (r.getLong(0), r.getLong(1) - r.getLong(0) + 1)
     val classed = docs.withColumn("cls", least(
       floor((col("doc_id") - mn) * nBatches / span), lit(nBatches - 1L)))
-    val streamDir = StreamingExtract.stageReplayFiles(classed, nBatches)
-    val src = spark.readStream
-      .schema(classed.drop("cls").schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-    val name = "quota_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = admit(src, quota)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select("doc_id", "source", "admit_rank")
+    StreamingExtract.runReplay(spark, "quota_replay_", classed, nBatches)(
+      src => admit(src, quota).toDF())
+      .select("doc_id", "source", "admit_rank")
   }
 
   /** docs: streaming DataFrame with (doc_id: Long, source: String,

@@ -66,19 +66,9 @@ object StreamingSessionize {
       "-1L AS user_id", "id AS event_id",
       s"timestamp_micros(${flushUs}L) AS ts",
       s"CAST($nBatches AS BIGINT) + id AS cls")
-    val streamDir = StreamingExtract.stageReplayFiles(
-      classed.unionByName(sentinels), nBatches + 2)
-    val src = spark.readStream
-      .schema(classed.drop("cls").schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-    val name = "sess_replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionize(src)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).where(col("user_id") >= 0)
+    StreamingExtract.runReplay(spark, "sess_replay_",
+      classed.unionByName(sentinels), nBatches + 2)(src => sessionize(src).toDF())
+      .where(col("user_id") >= 0)
       .select("user_id", "start_us", "end_us", "n_events")
   }
 
