@@ -466,7 +466,9 @@ object Dedup {
     val bcQ = spark.sparkContext.broadcast(q)
     val probeN = if (nprobe <= 0) numCentroids else nprobe
 
-    val corpus = emb.map { case (id, v) =>
+    // the streamed side of the cell join carries all candidate dot
+    // products — rebalance a degenerate single-row-group scan first
+    val corpus = Similarity.rebalanceSmall(emb).map { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       (bcQ.value.nearest(v), id, v, math.sqrt(n))
@@ -526,7 +528,9 @@ object Dedup {
     VectorFunctions.register(spark)
     val q = Similarity.trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
     val bcQ = spark.sparkContext.broadcast(q)
-    val cells = emb.map { case (id, v) =>
+    // rebalance a degenerate single-row-group scan before the
+    // within-cell pair scan (both join sides derive from `cells`)
+    val cells = Similarity.rebalanceSmall(emb).map { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       (bcQ.value.nearest(v), id, v, math.sqrt(n))

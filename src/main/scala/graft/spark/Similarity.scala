@@ -32,6 +32,28 @@ object Similarity {
   private def dot(a: String, b: String) =
     call_function("dot_f64", col(a), col(b))
 
+  /** Guard against degenerate scan parallelism on small inputs (guide
+    * §2.5 "input skew: one huge unsplittable file"): parquet assigns a
+    * row group entirely to one split, so a table with few row groups
+    * collapses to 1-2 non-empty tasks however many splits the planner
+    * makes — and every downstream per-row kernel, per-partition heap
+    * scan, or stream-side join runs nearly single-threaded. When the
+    * optimizer's size estimate says the whole input could not fill the
+    * cluster even at the advisory partition size, round-robin it across
+    * `defaultParallelism` (cluster-sized, not a constant); at scale the
+    * estimate exceeds the bound and NO exchange is added — the corpus is
+    * never shuffled for this. Results are unaffected: every caller's
+    * downstream is per-row work or an order-independent exact aggregate/
+    * total-order window. */
+  private[spark] def rebalanceSmall[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val est = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(advisory) * par) ds.repartition(par) else ds
+  }
+
   private def normed(df: DataFrame, idCol: String): DataFrame =
     df.select(col("vec_id").as(idCol), col("embedding"),
       sqrt(dot("embedding", "embedding")).as(idCol + "_norm"))
@@ -42,7 +64,7 @@ object Similarity {
       k: Int = 5, numQueries: Int = 20): DataFrame = {
     VectorFunctions.register(spark)
     val emb = TableIO(spark, sfDir).read("embeddings")
-    val corpus = normed(emb, "corpus_id")
+    val corpus = normed(rebalanceSmall(emb), "corpus_id")
     val queries = normed(emb.orderBy("vec_id").limit(numQueries), "query_id")
       .withColumnRenamed("embedding", "q_embedding")
 
@@ -166,7 +188,7 @@ object Similarity {
     val q = trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
     val bcQ = spark.sparkContext.broadcast(q)
 
-    val corpus = emb.map { case (id, v) =>
+    val corpus = rebalanceSmall(emb).map { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       (bcQ.value.nearest(v), id, v, math.sqrt(n))
@@ -253,7 +275,8 @@ object Similarity {
         bcQ.value.probe(v, nprobe).iterator.map(c => (c, id, v, nrm))
       }.toDF("cell", "query_id", "q_embedding", "query_norm")
 
-    val scored = io.read(s"${prefix}_cells").join(broadcast(queries), "cell")
+    val scored = rebalanceSmall(io.read(s"${prefix}_cells"))
+      .join(broadcast(queries), "cell")
       .where(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"),
         (dot("embedding", "q_embedding") /
@@ -319,8 +342,8 @@ object Similarity {
     val qTables = queryRows.collect().map { case (id, v) => (id, cb.adcTable(v)) }
     val bcQ = spark.sparkContext.broadcast(qTables)
 
-    val approx = io.read(s"${prefix}_codes")
-      .as[(Long, Array[Int])].mapPartitions { it =>
+    val approx = rebalanceSmall(io.read(s"${prefix}_codes")
+      .as[(Long, Array[Int])]).mapPartitions { it =>
         val cbv = bcCb.value; val qts = bcQ.value
         val heaps = scala.collection.mutable.LinkedHashMap[Long,
           scala.collection.mutable.PriorityQueue[(Double, Long)]]()
@@ -475,7 +498,7 @@ object Similarity {
     val qTables = queryRows.collect().map { case (id, v) => (id, cb.adcTable(v)) }
     val bcQ = spark.sparkContext.broadcast(qTables)
 
-    val approx = emb.mapPartitions { it =>
+    val approx = rebalanceSmall(emb).mapPartitions { it =>
       val cbv = bcCb.value; val qts = bcQ.value
       // per-query max-heap of (approx_d, corpus_id): keeps the R smallest
       val heaps = scala.collection.mutable.LinkedHashMap[Long,
@@ -591,7 +614,7 @@ object Similarity {
       }.groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2)) }
     val bcTabs = spark.sparkContext.broadcast(qTabsByCell)
 
-    val approx = emb.mapPartitions { it =>
+    val approx = rebalanceSmall(emb).mapPartitions { it =>
       val qv = bcQ.value; val cbv = bcCb.value; val tabs = bcTabs.value
       // per-query max-heap of (approx_d, corpus_id): keeps the R smallest
       val heaps = scala.collection.mutable.LinkedHashMap[Long,
@@ -733,7 +756,7 @@ object Similarity {
       }
     }
 
-    val corpus = index(emb, probeFlips = false)
+    val corpus = index(rebalanceSmall(emb), probeFlips = false)
       .toDF("band_idx", "bucket", "corpus_id", "embedding", "corpus_norm")
     val queries = index(queryRows, probeFlips = multiprobe)
       .toDF("band_idx", "bucket", "query_id", "q_embedding", "query_norm")
