@@ -281,11 +281,21 @@ object SparkEntry {
     // components → keep the min doc_id of each cluster — the rewrite a
     // production run ships (dedup_rewrite is the exact-dup analogue)
     "dedup_neardup_rewrite" -> ((s, dir) => {
+      // keep-one = drop the LOSERS (paired docs that are not their
+      // cluster's min); unpaired docs are singleton keepers by
+      // definition. The loser set is the near-dup population minus one
+      // per cluster — the corpus-sized groupBy+inner-join this replaces
+      // carried every doc through an aggregate to re-derive mostly
+      // itself (guide §3: anti/semi-join shape; result identical).
       val docs = TableIO(s, dir).read("documents")
-      val keep = Dedup.clusters(s, dir)
-        .groupBy("cluster_id")
-        .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
-      docs.join(keep.select("doc_id"), "doc_id").select(col("doc_id"), col("n_chars"))
+      val labels = Dedup.pairedClusterLabels(s, dir)
+      val losers = labels
+        .join(labels.groupBy("label")
+          .agg(org.apache.spark.sql.functions.min(col("id")).as("keep_id")), "label")
+        .where(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
     }),
     // inter-source 3-shingle Jaccard matrix: which crawl sources are
     // near-copies of each other (mirror/syndication audit) — the

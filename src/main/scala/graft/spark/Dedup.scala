@@ -236,11 +236,37 @@ object Dedup {
     * for the round bound and checkpoint story. */
   def clusters(spark: SparkSession, sfDir: String, maxIters: Int = 64,
       checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
-    val ids = TableIO(spark, sfDir).read("documents")
-      .select(col("doc_id").as("id"))
-    ccLabels(spark, ids, pairs, maxIters, checkpointDir)._1
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val labels = pairedClusterLabels(spark, sfDir, maxIters, checkpointDir)
+    // unpaired documents are singletons (their own cluster) and never
+    // needed the iterative loop — attach the vertex labels back with one
+    // left join (auto-broadcast while the paired set is small; SMJ at
+    // scale; either way far cheaper than iterating the full corpus)
+    TableIO(spark, sfDir).read("documents")
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Connected-component labels for the PAIRED documents only — the
+    * vertices of the minhash pair graph. Documents outside every pair
+    * cannot change label (no neighbor ever hooks them), so iterating the
+    * full corpus through [[ccLabels]] was pure overhead: each round's
+    * hooking/doubling joins and checkpoints carried corpus-sized frames
+    * where only the (typically tiny) near-dup vertex set can move
+    * (guide §1.2 "don't compute things you throw away"). At 100 TB the
+    * vertex set is the near-dup population — the loop now scales with
+    * THAT, not with the corpus. */
+  def pairedClusterLabels(spark: SparkSession, sfDir: String,
+      maxIters: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    // persist: both the vertex set and the edge frame derive from the
+    // banded-signature pair join — without the cache the signature kernel
+    // and band join would run twice (once per materialization)
+    val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b").persist()
+    val verts = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    try ccLabels(spark, verts, pairs, maxIters, checkpointDir)._1
+    finally pairs.unpersist(blocking = false)
   }
 
   /** Distributed connected components via Shiloach–Vishkin-style
@@ -318,7 +344,11 @@ object Dedup {
     var converged = false
     var returning = false
     try {
-      labels = snapshotTracked(ids.select(col("id")).withColumn("label", col("id")))
+      // no snapshot for the seed: it is one column duplication over `ids`
+      // (for the cluster operators: a distinct over the persisted pair
+      // frame) — re-evaluating it inside round 1's two joins is cheaper
+      // than a dedicated materialization job
+      labels = ids.select(col("id")).withColumn("label", col("id"))
       while (!converged && iter < maxIters) {
         // hooking: candidate = min(own label, neighbors' labels); carry the
         // pre-round label so the convergence check below is a scan of the
