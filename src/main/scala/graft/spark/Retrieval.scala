@@ -124,16 +124,22 @@ object Retrieval {
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // persist: the corpus tokenize+count feeds BOTH the postings and the
+    // wordstats writes — without the cache the full explode+aggregate
+    // runs once per output table (guide §1.2: don't repeat passes)
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).persist()
     val dls = docs.select(col("doc_id"),
       size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("dl"))
-    io.write(tf.join(dls, "doc_id").select("word", "doc_id", "tf", "dl"),
-      s"${prefix}_postings", SaveMode.Overwrite)
-    io.write(tf.groupBy("word").agg(count(lit(1)).as("df")),
-      s"${prefix}_wordstats", SaveMode.Overwrite)
-    io.write(dls.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")),
-      s"${prefix}_stats", SaveMode.Overwrite)
+      .persist()
+    try {
+      io.write(tf.join(dls, "doc_id").select("word", "doc_id", "tf", "dl"),
+        s"${prefix}_postings", SaveMode.Overwrite)
+      io.write(tf.groupBy("word").agg(count(lit(1)).as("df")),
+        s"${prefix}_wordstats", SaveMode.Overwrite)
+      io.write(dls.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")),
+        s"${prefix}_stats", SaveMode.Overwrite)
+    } finally { tf.unpersist(blocking = false); dls.unpersist(blocking = false) }
   }
 
   /** Probe the standing [[writeIndex]] tables: broadcast the query terms

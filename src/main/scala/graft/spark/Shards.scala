@@ -61,6 +61,12 @@ object Shards {
         (Hash61.mix(id) % numShards, id, text, rowHash(id, text))
       }
       .toDF("shard", "doc_id", "text", "row_hash")
+      // the exchange the scaladoc promises: cluster by shard before the
+      // partitioned write, so each shard is written by one task — without
+      // it every input partition opens a file in every shard directory
+      // (scan_partitions × numShards small files; guide §6 "small files
+      // hurt twice")
+      .repartition(col("shard"))
     io.writePartitioned(sharded, outTable, "shard")
     manifest(io.read(outTable))
   }
