@@ -118,9 +118,19 @@ object Dedup {
         }
       }.toDF("doc_id", "sig", "band_idx", "band_hash")
 
-    val bucketSizes = banded0.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
-    val banded = banded0.join(bucketSizes, Seq("band_idx", "band_hash")).drop("bsz")
+    // hot-bucket cap as a WINDOW count over the band exchange instead of
+    // a separate aggregate joined back: the previous agg+join shape ran
+    // the signature kernel once per plan reference (4 MapPartitions
+    // passes in explain — the a/b self-join sides plus the bucketSizes
+    // subtree each re-scanned and re-shingled the corpus); the window
+    // rides the ONE hash(band_idx, band_hash) exchange, which the
+    // self-join below then reuses for both sides (guide §1.2 "don't
+    // repeat passes", §2.4 "share one exchange"). Same rows kept: the
+    // per-bucket count is the same number the aggregate produced.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash")
+    val banded = banded0.withColumn("bsz", count(lit(1)).over(wBucket))
+      .where(col("bsz") <= MaxBucket).drop("bsz")
 
     val a = banded.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -166,8 +176,10 @@ object Dedup {
             (0 until bands).iterator.map(b => (id, isNew, sig, b, bhs(b)))
         }
       }.toDF("doc_id", "is_new", "sig", "band_idx", "band_hash")
-    probeIndex(banded0.where(!col("is_new")).drop("is_new"),
-      banded0.where(col("is_new")).drop("is_new"))
+    // the tagged frame goes to the probe core DIRECTLY: splitting it into
+    // index/fresh inputs and re-unioning inside probeIndex would run the
+    // banding kernel once per branch
+    probeTagged(banded0)
   }
 
   /** Banding kernel shared by the one-shot and PERSISTED-INDEX flows:
@@ -206,16 +218,29 @@ object Dedup {
     * confined to late-hot buckets).
     *
     * Emits the [[minhashLsh]] pair schema (doc_a < doc_b, matching). */
-  def probeIndex(index: DataFrame, fresh: DataFrame): DataFrame = {
-    val spark = index.sparkSession
+  def probeIndex(index: DataFrame, fresh: DataFrame): DataFrame =
+    probeTagged(index.withColumn("is_new", lit(false))
+      .unionByName(fresh.withColumn("is_new", lit(true))))
+
+  /** Core of [[probeIndex]] over ONE tagged frame (doc_id, is_new, sig,
+    * band_idx, band_hash): the hot-bucket cap is a window count over the
+    * single band exchange and the fresh side is a filter of the SAME
+    * capped subtree, so the band join's two sides reuse one exchange and
+    * the banding kernel feeding it runs once — the previous
+    * union + aggregate + two joins shape re-banded the inputs once per
+    * plan reference (guide §1.2/§2.4). Same pairs: the cap counts
+    * index ∪ fresh per bucket exactly as the aggregate did. */
+  private[spark] def probeTagged(all: DataFrame): DataFrame = {
+    val spark = all.sparkSession
     VectorFunctions.register(spark)
-    val all = index.unionByName(fresh)
-    val bucketSizes = all.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
-    val left = all.join(bucketSizes, Seq("band_idx", "band_hash"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash")
+    val capped = all.withColumn("bsz", count(lit(1)).over(wBucket))
+      .where(col("bsz") <= MaxBucket)
+    val left = capped
       .select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_l"), col("sig").as("sig_l"))
-    val right = fresh.join(bucketSizes, Seq("band_idx", "band_hash"))
+    val right = capped.where(col("is_new"))
       .select(col("band_idx"), col("band_hash"),
         col("doc_id").as("id_r"), col("sig").as("sig_r"))
     left.join(right, Seq("band_idx", "band_hash"))
@@ -416,9 +441,12 @@ object Dedup {
         }
       }.toDF("doc_id", "fp", "band_idx", "band")
 
-    val bandSizes = banded0.groupBy("band_idx", "band")
-      .agg(count(lit(1)).as("bsz")).where(col("bsz") <= MaxBucket)
-    val banded = banded0.join(bandSizes, Seq("band_idx", "band")).drop("bsz")
+    // window-count cap over the one band exchange (same rationale and
+    // row-for-row same result as minhashLsh's — see there)
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band")
+    val banded = banded0.withColumn("bsz", count(lit(1)).over(wBand))
+      .where(col("bsz") <= MaxBucket).drop("bsz")
 
     val a = banded.select(col("band_idx"), col("band"),
       col("doc_id").as("doc_a"), col("fp").as("fp_a"))
@@ -683,23 +711,27 @@ object Dedup {
       .toDF("doc_id", "grams")
       .where(size(col("grams")) > 0)
 
-    val sizes = docGrams.select(col("doc_id"), size(col("grams")).as("n_grams"))
-    val posting = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val rare = posting.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= MaxBucket)
-    val filtered = posting.join(rare, "gram").drop("df")
+    // each posting row CARRIES its document's gram count, so the pair
+    // aggregate below yields (shared, n_a, n_b) in one go — the previous
+    // shape joined a per-doc sizes frame back twice, and each of those
+    // joins (plus the df aggregate and both self-join sides) re-ran the
+    // shingle kernel: 6 corpus passes where one suffices (guide §1.2).
+    // The df cap is a window count riding the single gram exchange,
+    // which the self-join's two sides then reuse (guide §2.4).
+    val posting = docGrams.select(col("doc_id"),
+      size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val filtered = posting.withColumn("df", count(lit(1)).over(wGram))
+      .where(col("df") <= MaxBucket).drop("df")
 
-    val shared = filtered.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(filtered.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+    // n_a/n_b are functions of doc_a/doc_b, so adding them to the
+    // grouping keys changes no group
+    filtered.select(col("gram"), col("doc_id").as("doc_a"), col("n_grams").as("n_a"))
+      .join(filtered.select(col("gram"), col("doc_id").as("doc_b"),
+        col("n_grams").as("n_b")), "gram")
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("shared"))
-
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_grams", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_grams", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
