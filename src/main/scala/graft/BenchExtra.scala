@@ -27,6 +27,23 @@ object BenchExtra {
       else csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
     mode match {
+      case "extract" =>
+        // headline-metric isolation: Bench's extractionThroughput at the
+        // driver's TPD, each sample printed (variance visibility), both
+        // exchange and pre-bucketed faces
+        val tpd = sys.env.getOrElse("SPARK_GRAFT_TPD", "200").toInt
+        Bench.extractionThroughput(spark, sfDir, turnsPerDoc = 1, buckets = cpus.toInt)
+        (1 to runs).foreach { i =>
+          spark.sparkContext.setJobDescription(s"benchextra: extract#$i")
+          val (n, sec) = Bench.extractionThroughput(spark, sfDir, tpd, cpus.toInt * 4)
+          println(f"extract#$i: $n turns ${sec}%.3f s ${n / sec}%.1f turns/s")
+        }
+        (1 to runs).foreach { i =>
+          spark.sparkContext.setJobDescription(s"benchextra: prebucketed#$i")
+          val (n, sec) = Bench.extractionThroughput(spark, sfDir, tpd, cpus.toInt * 4,
+            preBucketed = true)
+          println(f"prebucketed#$i: $n turns ${sec}%.3f s ${n / sec}%.1f turns/s")
+        }
       case "plan" =>
         val outDir = args(1)
         new java.io.File(outDir).mkdirs()

@@ -375,28 +375,43 @@ object Dedup {
       // than a dedicated materialization job
       labels = ids.select(col("id")).withColumn("label", col("id"))
       while (!converged && iter < maxIters) {
-        // hooking: candidate = min(own label, neighbors' labels); carry the
-        // pre-round label so the convergence check below is a scan of the
-        // checkpointed frame, not another join
-        val nbrMin = undirected.join(labels, undirected("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        // hooking: candidate = min(own label, neighbors' labels); carry
+        // the pre-round label so the convergence check is a scan of the
+        // cached frame, not another join. Round 1 needs no labels join
+        // for the neighbor min — labels are the identity, so
+        // label(dst) = dst and a plain aggregate over the edges suffices.
+        val nbrMin =
+          (if (iter == 0) undirected.select(col("src"), col("dst").as("label"))
+           else undirected.join(labels, undirected("dst") === labels("id"))
+             .select(undirected("src"), col("label")))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr"))
         // persist: the hooking subtree (the round's expensive join+agg)
-        // feeds BOTH sides of the doubling self-join below — without a
-        // snapshot it would evaluate twice per round unless exchange
-        // reuse happens to dedupe it (ADVICE r3)
+        // feeds the convergence check AND both sides of the doubling
+        // self-join — without it each reference would re-evaluate the
+        // joins (ADVICE r3)
         val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
           .select(labels("id"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
             labels("label").as("old"))
           .persist()
-        // shortcutting: label ← label(label) (pointer doubling)
-        val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
-        val stepped = snapshotTracked(
-          hooked.join(l, hooked("label") === l("lid"))
-            .select(hooked("id"), col("llabel").as("label"), hooked("old")))
-        hooked.unpersist() // the eager snapshot above materialized it
-        converged = stepped.where(col("label") =!= col("old")).limit(1).count() == 0
-        labels = stepped.select("id", "label")
+        // convergence is decided on the HOOKING output, before paying the
+        // doubling join: hooking-stability alone implies the min-label
+        // fixpoint — stable means L(x) = min(L(x), min_nbr L(nbr)), so
+        // for every edge (u,v) both L(u) ≤ L(v) and L(v) ≤ L(u), i.e.
+        // labels are CONSTANT within each component; with the invariants
+        // L(x) ≤ x and L(x) ∈ component(x), that constant is the
+        // component min (evaluate at the min vertex m: L(m) ≤ m and
+        // L(m) ≥ m). Doubling is purely an accelerator, so the final
+        // confirm round skips its join and checkpoint outright.
+        converged = hooked.where(col("label") =!= col("old")).limit(1).count() == 0
+        if (!converged) {
+          // shortcutting: label ← label(label) (pointer doubling)
+          val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))
+          labels = snapshotTracked(
+            hooked.join(l, hooked("label") === l("lid"))
+              .select(hooked("id"), col("llabel").as("label")))
+        }
+        hooked.unpersist() // converged: labels unchanged; else: snapshotted
         iter += 1
       }
       require(converged,
