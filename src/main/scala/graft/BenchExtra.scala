@@ -44,6 +44,31 @@ object BenchExtra {
             preBucketed = true)
           println(f"prebucketed#$i: $n turns ${sec}%.3f s ${n / sec}%.1f turns/s")
         }
+      case "jobs" =>
+        // per-job wall breakdown of ONE warm execution of each query:
+        // which of a multi-job query's actions the time actually goes to
+        Bench.extractionThroughput(spark, sfDir, turnsPerDoc = 1, buckets = cpus.toInt)
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e9
+            println(f"    job ${j.jobId}%4d ${dt}%7.3f s")
+          }
+        }
+        queriesOf(args.lift(1).getOrElse("all")).foreach { name =>
+          val fn = SparkEntry.queries(name)
+          fn(spark, sfDir).count() // warm
+          println(s"== $name")
+          spark.sparkContext.addSparkListener(lst)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let the listener bus drain
+          spark.sparkContext.removeSparkListener(lst)
+          println(f"== $name total ${wall}%.3f s")
+        }
       case "plan" =>
         val outDir = args(1)
         new java.io.File(outDir).mkdirs()

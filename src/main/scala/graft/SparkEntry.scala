@@ -146,9 +146,9 @@ object SparkEntry {
       // tail sentence (→ one deleted block), %3==2 benchmark misses the
       // last word (→ one inserted block).
       import s.implicits._
-      TableIO(s, dir).read("documents")
+      TableIO.rebalanceSmall(TableIO(s, dir).read("documents")
         .select("doc_id", "text", "n_chars")
-        .where(col("n_chars") >= MinChars).as[(Long, String, Long)]
+        .where(col("n_chars") >= MinChars).as[(Long, String, Long)])
         .map { case (docId, text, _) =>
           val actual = ExtractJob.extractTurn(
             Turn(TranscriptGen.convOf(docId), docId.toInt, "assistant",
@@ -171,7 +171,8 @@ object SparkEntry {
       // below-threshold sibling) — produces the multi-block span face the
       // plain wrap cannot (TranscriptGen.siblingHtml scaladoc).
       import s.implicits._
-      TableIO(s, dir).read("documents").select("doc_id").as[Long]
+      TableIO.rebalanceSmall(
+        TableIO(s, dir).read("documents").select("doc_id").as[Long])
         .flatMap { id =>
           val r = Extractor.extract(TranscriptGen.siblingHtml(id), ExtractOptions())
           r.spans.toSeq.zipWithIndex.map { case ((st, en), i) =>
@@ -185,7 +186,8 @@ object SparkEntry {
       // survive, every `vanish` marker must be cleaned (TranscriptGen
       // .sanitizeHtml scaladoc walks the table).
       import s.implicits._
-      TableIO(s, dir).read("documents").select("doc_id").as[Long]
+      TableIO.rebalanceSmall(
+        TableIO(s, dir).read("documents").select("doc_id").as[Long])
         .map { id =>
           (id, Extractor.extract(TranscriptGen.sanitizeHtml(id), ExtractOptions()).text)
         }.toDF("doc_id", "extracted_text")
@@ -197,7 +199,8 @@ object SparkEntry {
       // decoy, skipping the retry returns the teaser; both fail the
       // oracle.
       import s.implicits._
-      TableIO(s, dir).read("documents").select("doc_id").as[Long]
+      TableIO.rebalanceSmall(
+        TableIO(s, dir).read("documents").select("doc_id").as[Long])
         .map { id =>
           val sum = Extractor.extract(TranscriptGen.retryHtml(id), ExtractOptions())
           (id, sum.confidence, sum.text)
@@ -229,8 +232,8 @@ object SparkEntry {
     "charset_detect" -> ((s, dir) => {
       import s.implicits._
       // four deterministic payload classes exercise every detector branch
-      TableIO(s, dir).read("documents")
-        .select("doc_id", "text").as[(Long, String)]
+      TableIO.rebalanceSmall(TableIO(s, dir).read("documents")
+        .select("doc_id", "text").as[(Long, String)])
         .map { case (id, text) =>
           val bytes = (id % 4) match {
             case 0 => (text + " café жизнь résumé")
@@ -258,8 +261,8 @@ object SparkEntry {
     // ---- multi-page URL logic (F10-F11, W4) ----
     "base_url" -> ((s, dir) => {
       import s.implicits._
-      TableIO(s, dir).read("documents")
-        .select("doc_id", "source").as[(Long, String)]
+      TableIO.rebalanceSmall(TableIO(s, dir).read("documents")
+        .select("doc_id", "source").as[(Long, String)])
         .map { case (id, src) =>
           val url = s"http://example.com/$src/article-$id.html"
           (id, Pages.findBaseUrl(url))
@@ -268,8 +271,8 @@ object SparkEntry {
     "next_page_url" -> ((s, dir) => {
       import s.implicits._
       // synthetic pagination footer: the scorer must pick page 2
-      TableIO(s, dir).read("documents")
-        .select("doc_id", "source").as[(Long, String)]
+      TableIO.rebalanceSmall(TableIO(s, dir).read("documents")
+        .select("doc_id", "source").as[(Long, String)])
         .map { case (id, src) =>
           val url = s"http://example.com/$src/article-$id.html"
           val html = s"""<html><body><div class="story"><p>body text here</p></div>
@@ -443,10 +446,10 @@ object SparkEntry {
       // row-local map — nothing shuffles until the two-phase (skew-safe)
       // quota windows, the pipeline's only exchanges at any corpus size
       import s.implicits._
-      val rows = TableIO(s, dir).read("documents")
+      val rows = TableIO.rebalanceSmall(TableIO(s, dir).read("documents")
         .select("doc_id", "text", "n_chars", "source")
         .where(col("n_chars") >= MinChars)
-        .as[(Long, String, Long, String)]
+        .as[(Long, String, Long, String)])
         .map { case (id, text, _, src) =>
           val turn = Turn(TranscriptGen.convOf(id), id.toInt, "assistant",
             TranscriptGen.htmlWrap(id, text), "",
@@ -463,7 +466,7 @@ object SparkEntry {
       // row-multiplying step and collapses immediately into a map-side
       // partial count; the LIMIT is a TakeOrdered top-k, never a global
       // sort (PlanSpec-style contract asserted in QualitySpec)
-      TableIO(s, dir).read("documents")
+      TableIO.rebalanceSmall(TableIO(s, dir).read("documents"))
         .select(explode(split(col("text"), " ")).as("word"))
         .where(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -488,7 +491,7 @@ object SparkEntry {
       // and the oracle order identically (idf's ln is the one term whose
       // last ulp is not contractually identical across libm builds).
       import org.apache.spark.sql.expressions.Window
-      val words = TableIO(s, dir).read("documents")
+      val words = TableIO.rebalanceSmall(TableIO(s, dir).read("documents"))
         .select(col("source"), explode(split(col("text"), " ")).as("word"))
         .where(col("word") =!= "")
       val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))

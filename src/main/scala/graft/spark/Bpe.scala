@@ -55,7 +55,7 @@ object Bpe {
   private def topVocab(spark: SparkSession, sfDir: String,
       vocabTopK: Int): Array[(String, Long)] = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents"))
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -116,8 +116,8 @@ object Bpe {
     val merges = trainOn(topVocab(spark, sfDir, vocabTopK), numMerges)
       .map(mg => (mg.lhs, mg.rhs))
     val bc = spark.sparkContext.broadcast(merges)
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) =>
         val words = text.split(" ").filter(_.nonEmpty)
         var tokens = 0L

@@ -64,8 +64,8 @@ object Curation {
     import spark.implicits._
     require(numBuckets > 0 && numBuckets <= (1 << 16),
       s"numBuckets=$numBuckets must be a bounded broadcastable model size")
-    val words = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val words = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .flatMap { case (_, text) =>
         val ws = text.split(" ").filter(_.nonEmpty)
         val isTarget = ws.contains(targetWord)
@@ -89,8 +89,8 @@ object Curation {
     }
     val bcScores = spark.sparkContext.broadcast(scores)
     val nb = numBuckets
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "source", "text").as[(Long, String, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)])
       .map { case (id, src, text) =>
         val ws = text.split(" ").filter(_.nonEmpty)
         var s = 0L
@@ -148,8 +148,8 @@ object Curation {
       numBuckets: Int = 256, newMod: Int = 4): DataFrame = {
     import spark.implicits._
     val nb = numBuckets
-    val occ = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "source", "text").as[(Long, String, String)]
+    val occ = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "source", "text").as[(Long, String, String)])
       .flatMap { case (id, src, text) =>
         val isNew = if (Hash61.mix(id) % newMod == 0) 1L else 0L
         text.split(" ").iterator.filter(_.nonEmpty)
@@ -209,8 +209,8 @@ object Curation {
     * Emits (doc_id, n_bigrams, nll_unats, nll_per_bigram). */
   def perplexity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val docs = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
     // one row per bigram position: (doc, h(w1), bigram hash)
     val pos = docs.flatMap { case (id, text) =>
       val whs = text.split(" ").filter(_.nonEmpty).map(Hash61.wordHash)

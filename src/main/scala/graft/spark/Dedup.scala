@@ -108,9 +108,10 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    // kernel: per doc, signature and band hashes in one pass
-    val banded0 = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    // kernel: per doc, signature and band hashes in one pass (the scan
+    // rebalanced so the kernel runs at full parallelism — guide §2.5)
+    val banded0 = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .flatMap { case (id, text) =>
         bandedSignature(text, numHashes, bands).iterator.flatMap {
           case (sig, bhs) =>
@@ -167,8 +168,8 @@ object Dedup {
   def incremental(spark: SparkSession, sfDir: String,
       numHashes: Int = 16, bands: Int = 4, newMod: Int = 5): DataFrame = {
     import spark.implicits._
-    val banded0 = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val banded0 = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .flatMap { case (id, text) =>
         val isNew = Hash61.mix(id) % newMod == 0
         bandedSignature(text, numHashes, bands).iterator.flatMap {
@@ -189,7 +190,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.flatMap { case (id, text) =>
+    TableIO.rebalanceSmall(docs).flatMap { case (id, text) =>
       bandedSignature(text, numHashes, bands).iterator.flatMap {
         case (sig, bhs) =>
           (0 until bands).iterator.map(b => (id, sig, b, bhs(b)))
@@ -432,8 +433,8 @@ object Dedup {
     * near-dups have Hamming ≤ 6. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val banded0 = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val banded0 = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .flatMap { case (id, text) =>
         val wh = wordHashes(text)
         if (wh.isEmpty) Iterator.empty
@@ -540,14 +541,17 @@ object Dedup {
     val probeN = if (nprobe <= 0) numCentroids else nprobe
 
     // the streamed side of the cell join carries all candidate dot
-    // products — rebalance a degenerate single-row-group scan first
-    val corpus = Similarity.rebalanceSmall(emb).map { case (id, v) =>
+    // products — rebalance a degenerate single-row-group scan first;
+    // the probe side derives from the SAME spread, so the two cell-join
+    // inputs reuse one exchange and the probe kernel is parallel too
+    val spread = Similarity.rebalanceSmall(emb)
+    val corpus = spread.map { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       (bcQ.value.nearest(v), id, v, math.sqrt(n))
     }.toDF("cell", "corpus_id", "embedding", "corpus_norm")
 
-    val probes = emb.flatMap { case (id, v) =>
+    val probes = spread.flatMap { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       val nrm = math.sqrt(n)
@@ -641,12 +645,11 @@ object Dedup {
     * Scale shape: the posting stream is one row per word position
     * (linear — this family never forms pairs, so no hot-bucket cap is
     * needed: a boilerplate gram with a billion occurrences contributes a
-    * billion rows, not a billion²); the occurrence count is a map-side-
-    * combined hash aggregate; the membership join back is an equi-join
-    * on the gram hash; the island merge shuffles (doc_id, pos) pairs
-    * once. The gram flatMap runs twice (count + join sides) — two
-    * row-local corpus passes beat materializing a corpus-sized
-    * intermediate.
+    * billion rows, not a billion²); duplicated-gram membership is a
+    * window count riding the
+    * gram exchange (one gram pass — the former aggregate-plus-join ran
+    * the flatMap once per plan reference); the island merge shuffles
+    * (doc_id, pos) pairs once.
     *
     * Emits (doc_id, span_idx, start_word, end_word, n_words) — spans are
     * word-indexed [start, end), 0-based, ordered per doc. */
@@ -655,15 +658,19 @@ object Dedup {
       k: Int = 20, minCount: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val grams = docs.flatMap { case (id, text) =>
+    val grams = TableIO.rebalanceSmall(docs).flatMap { case (id, text) =>
       val whs = wordHashes(text)
       if (whs.length < k) Iterator.empty
       else (0 to whs.length - k).iterator.map(i =>
         (id, i.toLong, Hash61.shingleN(whs, i, k)))
     }.toDF("doc_id", "pos", "gram")
-    val dup = grams.groupBy("gram")
-      .agg(count(lit(1)).as("c")).where(col("c") >= minCount).select("gram")
-    val hits = grams.join(dup, "gram").select("doc_id", "pos")
+    // duplicated-gram membership as a window count over the one gram
+    // exchange instead of an aggregate joined back — the join shape ran
+    // the gram flatMap once per plan reference (guide §1.2/§2.4); same
+    // rows survive (count ≥ minCount per gram is unchanged)
+    val wGram = Window.partitionBy("gram")
+    val hits = grams.withColumn("c", count(lit(1)).over(wGram))
+      .where(col("c") >= minCount).select("doc_id", "pos")
     // gaps-and-islands: windows [pos, pos+k) merge while they overlap
     // (pos < prev + k); all windows share one length, so the previous
     // pos carries the running end
@@ -720,8 +727,8 @@ object Dedup {
     * This is the formulation that survives 100 TB. */
   def ngramJaccard(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
-    val docGrams = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val docGrams = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) => (id, shingleHashes(text).distinct) }
       .toDF("doc_id", "grams")
       .where(size(col("grams")) > 0)

@@ -21,8 +21,8 @@ object Multimodal {
     * Deterministic stand-in for real image bytes. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) =>
         val w = 64 + (id % 8).toInt * 32
         val h = 64 + (id % 5).toInt * 48

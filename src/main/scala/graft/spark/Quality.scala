@@ -79,8 +79,8 @@ object Quality {
   /** Per-document quality signals over the corpus (row-local map). */
   def signals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) => computeSignals(id, text) }
       .toDF()
   }
@@ -112,8 +112,8 @@ object Quality {
     * map over any corpus size. */
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) => (id, piiPayload(id, text)) }
       .toDF("doc_id", "payload")
       .select(
@@ -181,7 +181,7 @@ object Quality {
     val bcSpans = spark.sparkContext.broadcast(evalSpans)
     val bcSet = spark.sparkContext.broadcast(evalShingles)
 
-    docs.map { case (id, text) =>
+    TableIO.rebalanceSmall(docs).map { case (id, text) =>
       val payload =
         if (id % 7 == 3) bcSpans.value(id % evalSetSize) + " " + text else text
       val shared = shingleSet(splitWords(payload), nWords).count(bcSet.value.contains).toLong
@@ -255,7 +255,7 @@ object Quality {
     positions.foreach(p => filter(p >>> 6) |= (1L << (p & 63)))
     val bcFilter = spark.sparkContext.broadcast(filter)
 
-    docs.map { case (id, text) =>
+    TableIO.rebalanceSmall(docs).map { case (id, text) =>
       val payload =
         if (id % 7 == 3) bcSpans.value(id % evalSetSize) + " " + text else text
       val f = bcFilter.value
@@ -467,8 +467,8 @@ object Quality {
     * scan with no shuffle at any corpus size. */
   def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) => computeRepetition(id, text) }
       .toDF()
   }

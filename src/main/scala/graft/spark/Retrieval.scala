@@ -82,7 +82,7 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, sfDir: String,
       queries: Seq[String] = DefaultQueries, k: Int = 5): DataFrame = {
     val terms = termsFrame(spark, queries)
-    val docs = TableIO(spark, sfDir).read("documents")
+    val docs = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents"))
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
@@ -120,7 +120,7 @@ object Retrieval {
     *    the one-shot computation. */
   def writeIndex(spark: SparkSession, sfDir: String, io: TableIO,
       prefix: String = "bm25"): Unit = {
-    val docs = TableIO(spark, sfDir).read("documents")
+    val docs = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents"))
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")

@@ -55,8 +55,8 @@ object Shards {
   def write(spark: SparkSession, docs: DataFrame, io: TableIO,
       outTable: String, numShards: Int = 64): DataFrame = {
     import spark.implicits._
-    val sharded = docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val sharded = TableIO.rebalanceSmall(docs
+      .select(col("doc_id"), col("text")).as[(Long, String)])
       .map { case (id, text) =>
         (Hash61.mix(id) % numShards, id, text, rowHash(id, text))
       }
@@ -109,8 +109,8 @@ object Shards {
       numShards: Int = 8, seqLen: Int = 64): DataFrame = {
     import spark.implicits._
     require(seqLen > 0 && numShards > 0)
-    val toks = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    val toks = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) =>
         (Hash61.mix(id) % numShards, id,
           text.split(" ").count(_.nonEmpty).toLong)

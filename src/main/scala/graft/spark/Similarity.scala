@@ -32,27 +32,11 @@ object Similarity {
   private def dot(a: String, b: String) =
     call_function("dot_f64", col(a), col(b))
 
-  /** Guard against degenerate scan parallelism on small inputs (guide
-    * §2.5 "input skew: one huge unsplittable file"): parquet assigns a
-    * row group entirely to one split, so a table with few row groups
-    * collapses to 1-2 non-empty tasks however many splits the planner
-    * makes — and every downstream per-row kernel, per-partition heap
-    * scan, or stream-side join runs nearly single-threaded. When the
-    * optimizer's size estimate says the whole input could not fill the
-    * cluster even at the advisory partition size, round-robin it across
-    * `defaultParallelism` (cluster-sized, not a constant); at scale the
-    * estimate exceeds the bound and NO exchange is added — the corpus is
-    * never shuffled for this. Results are unaffected: every caller's
-    * downstream is per-row work or an order-independent exact aggregate/
-    * total-order window. */
-  private[spark] def rebalanceSmall[T](ds: Dataset[T]): Dataset[T] = {
-    val spark = ds.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
-    val est = ds.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(advisory) * par) ds.repartition(par) else ds
-  }
+  /** See [[TableIO.rebalanceSmall]] (the shared guard against degenerate
+    * single-row-group scan parallelism — it landed here first for the
+    * embedding scans and is now corpus-wide). */
+  private[spark] def rebalanceSmall[T](ds: Dataset[T]): Dataset[T] =
+    TableIO.rebalanceSmall(ds)
 
   private def normed(df: DataFrame, idCol: String): DataFrame =
     df.select(col("vec_id").as(idCol), col("embedding"),

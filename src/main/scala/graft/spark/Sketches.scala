@@ -46,8 +46,8 @@ object Sketches {
     val m = 1 << p
     val width = 61 - p
 
-    val hashed = TableIO(spark, sfDir).read("documents")
-      .select("source", "text").as[(String, String)]
+    val hashed = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("source", "text").as[(String, String)])
       .map { case (src, text) =>
         val words = text.split("\\s+").filter(_.nonEmpty)
         var fp = 0L
@@ -149,8 +149,8 @@ object Sketches {
     require(depth >= 1 && depth <= 16 && width >= 16 && width <= (1 << 20),
       "sketch dimensions must stay a bounded broadcastable state")
     val seeds = Array.tabulate(depth)(r => Hash61.mix(1000L + r))
-    val words = TableIO(spark, sfDir).read("documents")
-      .select("text").as[String]
+    val words = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("text").as[String])
       .flatMap(_.split(" ").iterator.filter(_.nonEmpty))
       .toDF("word")
     // one occurrence pass builds the whole matrix (map-side combined)

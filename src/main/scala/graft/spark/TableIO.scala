@@ -57,6 +57,30 @@ final case class ParquetDirIO(spark: SparkSession, root: String) extends TableIO
 }
 
 object TableIO {
+  /** Guard against degenerate scan parallelism on small inputs (guide
+    * §2.5 "input skew: one huge unsplittable file"): parquet assigns a
+    * row group entirely to one split, so a table with few row groups
+    * collapses to 1-2 non-empty tasks however many splits the planner
+    * makes — and every downstream row-local kernel (DOM extraction,
+    * signature hashing, tokenization) runs nearly single-threaded while
+    * the rest of the cluster idles. When the optimizer's size estimate
+    * says the whole input could not fill the cluster even at the
+    * advisory partition size, round-robin it across
+    * `defaultParallelism` (cluster-sized, not a constant); at scale the
+    * estimate exceeds the bound and NO exchange is added — the corpus
+    * is never shuffled for this. Results are unaffected: every caller's
+    * downstream is per-row work or an order-independent exact
+    * aggregate/total-order window. Shared by the ANN/embedding scans
+    * (where it landed first) and the text-kernel operators. */
+  def rebalanceSmall[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = ds.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val est = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(advisory) * par) ds.repartition(par) else ds
+  }
+
   type Factory = (SparkSession, String) => TableIO
 
   private val schemes = new java.util.concurrent.ConcurrentHashMap[String, Factory]()

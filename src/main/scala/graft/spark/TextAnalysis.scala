@@ -56,12 +56,15 @@ object TextAnalysis {
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
-    docs.map { case (id, text) =>
-      val (lang, ratio) = predict(text)
-      (id, lang, ratio)
-    }.toDF("doc_id", "predicted_lang", "stopword_ratio")
+    // all four lang-id faces and the fingerprint rebalance their
+    // single-row-group scan so the row-local scorers run at full
+    // parallelism (guide §2.5; size-guarded, no exchange at scale)
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
+      .map { case (id, text) =>
+        val (lang, ratio) = predict(text)
+        (id, lang, ratio)
+      }.toDF("doc_id", "predicted_lang", "stopword_ratio")
   }
 
   /** Discriminating lang-ID check: deterministic stopword-rich payloads,
@@ -72,8 +75,8 @@ object TextAnalysis {
     import spark.implicits._
     val langs = Vector("en", "es", "fr", "de", "zh")
     val sw = stopwords
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id").as[Long]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id").as[Long])
       .map { id =>
         val cls = (id % 6).toInt
         val payload =
@@ -146,8 +149,8 @@ object TextAnalysis {
     * SQL: trigram extraction, profile membership counts, argmax, gate). */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) =>
         val (lang, ratio) = predictNgram(text)
         (id, lang, ratio)
@@ -165,8 +168,8 @@ object TextAnalysis {
       "der schnelle braune fuchs springt über den faulen hund und läuft in den wald",
       "敏捷的棕色狐狸跳过了懒惰的狗然后跑进了山里的树林",
       "12345 67890 24680 13579")
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id").as[Long]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id").as[Long])
       .map { id =>
         val payload = samples((id % 6).toInt) + " " + id
         (id, TextAnalysis.predictNgram(payload)._1)
@@ -189,8 +192,8 @@ object TextAnalysis {
     import spark.implicits._
     val M = Hash61.M
     val B = FingerprintBase
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text").as[(Long, String)]
+    TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("doc_id", "text").as[(Long, String)])
       .map { case (id, text) =>
         val words = text.split("\\s+").filter(_.nonEmpty)
         var h = 0L
@@ -221,8 +224,8 @@ object TextAnalysis {
     * and a zero row mean different things in a source audit. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val srcShingles = TableIO(spark, sfDir).read("documents")
-      .select("source", "text").as[(String, String)]
+    val srcShingles = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents")
+      .select("source", "text").as[(String, String)])
       .flatMap { case (src, text) =>
         Dedup.shingleHashes(text).distinct.map(h => (src, h)) }
       .toDF("source", "sh")

@@ -264,10 +264,14 @@ object TranscriptGen {
     * conversation's docs are consecutive). */
   def roundtripTurns(spark: SparkSession, sfDir: String, minChars: Int): Dataset[Turn] = {
     import spark.implicits._
-    TableIO(spark, sfDir).read("documents")
-      .select("doc_id", "text", "n_chars")
-      .where(col("n_chars") >= minChars)
-      .as[(Long, String, Long)]
+    // rebalance the single-row-group scan so page generation + the
+    // downstream extraction kernel run at full parallelism (guide §2.5;
+    // size-guarded — no exchange once the corpus scans parallel itself)
+    TableIO.rebalanceSmall(
+      TableIO(spark, sfDir).read("documents")
+        .select("doc_id", "text", "n_chars")
+        .where(col("n_chars") >= minChars)
+        .as[(Long, String, Long)])
       .map { case (docId, text, _) =>
         Turn(convOf(docId), docId.toInt, "assistant", htmlWrap(docId, text),
           "", new Timestamp(FixedEpochMs + docId * 1000L))

@@ -107,7 +107,11 @@ class DedupSubstringSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = graft.PlanTestUtil.finalPlan(Dedup.substringSpans(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "substring dedup must stay linear in positions\n" + plan)
-    assert(plan.contains("partial_count"),
-      "gram occurrence count must combine map-side before the exchange\n" + plan)
+    // duplicated-gram membership is a window count riding the one gram
+    // exchange — the corpus text is scanned ONCE (the former
+    // aggregate-plus-join shape re-ran the gram kernel per reference)
+    assert(plan.contains("Window"), "gram membership must be a window count\n" + plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "the corpus must be scanned exactly once\n" + plan)
   }
 }

@@ -108,8 +108,9 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       // hash-checks
     }
     assert(rows.count(_._3 == 1L) > 0 && rows.count(_._3 == 0L) > 0)
-    // the pass is row-local: broadcast eval set, no join, no shuffle
-    assert(!finalPlan(df).contains("Exchange"))
+    // the pass is row-local: broadcast eval set, no join, no keyed
+    // shuffle (the guarded round-robin scan spread is not one)
+    assert(graft.PlanTestUtil.keyedExchanges(finalPlan(df)) == 0)
   }
 
   test("bloom decontamination: superset of exact flags, planted spans caught, row-local corpus pass") {
@@ -130,8 +131,9 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // should be absent on this corpus: decisions identical to exact
     assert(bloom.view.mapValues(_._2).toMap == exact.view.mapValues(_._2).toMap,
       "unexpected Bloom false positive flipped a flag at default sizing")
-    // scale shape: corpus pass row-local (fixed 128 KB broadcast, no join)
-    assert(!finalPlan(bloomDf).contains("Exchange"))
+    // scale shape: corpus pass row-local (fixed 128 KB broadcast, no
+    // join, no keyed shuffle)
+    assert(graft.PlanTestUtil.keyedExchanges(finalPlan(bloomDf)) == 0)
   }
 
   test("vocab top-k: map-side partial count, top-k without global sort") {
@@ -144,8 +146,8 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("curate pipeline: extraction+signals fused row-local, only the quota windows shuffle") {
     val plan = finalPlan(SparkEntry.queries("curate_pipeline")(spark, sfDir))
-    assert("Exchange ".r.findAllIn(plan).size == 2,
-      "extract → quality → quota must shuffle only for the two-phase quota\n" + plan)
+    assert(graft.PlanTestUtil.keyedExchanges(plan) == 2,
+      "extract → quality → quota must shuffle by key only for the two-phase quota\n" + plan)
   }
 
   test("repetition kernel matches a naive reference across line counts") {
@@ -179,7 +181,7 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("repetition filter discriminates by plant class and is row-local") {
     val df = Quality.repetitionSignals(spark, sfDir)
-    assert(!finalPlan(df).contains("Exchange"),
+    assert(graft.PlanTestUtil.keyedExchanges(finalPlan(df)) == 0,
       "duplicate-line signals are row-local")
     val byClass = df.select("doc_id", "keep").collect()
       .groupBy(r => r.getLong(0) % 4)
@@ -193,10 +195,11 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("plans: row-local ops never shuffle; the sample's two quota windows do") {
-    assert(!finalPlan(Quality.signals(spark, sfDir)).contains("Exchange"),
+    assert(graft.PlanTestUtil.keyedExchanges(
+      finalPlan(Quality.signals(spark, sfDir))) == 0,
       "quality signals are row-local")
     val pii = finalPlan(Quality.piiScrub(spark, sfDir))
-    assert(!pii.contains("Exchange"), "pii scrub is row-local")
+    assert(graft.PlanTestUtil.keyedExchanges(pii) == 0, "pii scrub is row-local")
     val sample = finalPlan(Quality.samplePerDomain(spark, sfDir))
     assert("Exchange ".r.findAllIn(sample).size == 2,
       "per-domain sample = salted partial window + bounded final window\n" + sample)
