@@ -56,6 +56,13 @@ object BenchExtra {
             val dt = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e9
             println(f"    job ${j.jobId}%4d ${dt}%7.3f s")
           }
+          override def onStageCompleted(
+              st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = st.stageInfo
+            val dt = (for {a <- i.completionTime; b <- i.submissionTime}
+              yield (a - b) / 1e3).getOrElse(-1.0)
+            println(f"      stage ${i.stageId}%4d ${dt}%7.3f s  tasks=${i.numTasks}%3d  ${i.name.take(70)}")
+          }
         }
         queriesOf(args.lift(1).getOrElse("all")).foreach { name =>
           val fn = SparkEntry.queries(name)

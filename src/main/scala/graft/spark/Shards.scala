@@ -65,8 +65,12 @@ object Shards {
       // partitioned write, so each shard is written by one task — without
       // it every input partition opens a file in every shard directory
       // (scan_partitions × numShards small files; guide §6 "small files
-      // hurt twice")
-      .repartition(col("shard"))
+      // hurt twice"). The partition count is EXPLICIT: a bare
+      // repartition(col) lets AQE coalesce the tiny local corpus to one
+      // partition, and that single task then opens all numShards writers
+      // sequentially (measured 0.84 s of a 1.2 s query); one partition
+      // per shard is also the right write parallelism at any scale.
+      .repartition(numShards, col("shard"))
     io.writePartitioned(sharded, outTable, "shard")
     manifest(io.read(outTable))
   }
