@@ -285,13 +285,14 @@ object Dedup {
     * THAT, not with the corpus. */
   def pairedClusterLabels(spark: SparkSession, sfDir: String,
       maxIters: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
-    // persist: both the vertex set and the edge frame derive from the
-    // banded-signature pair join — without the cache the signature kernel
-    // and band join would run twice (once per materialization)
+    // persist: the edge frame derives from the banded-signature pair
+    // join — without the cache the signature kernel and band join would
+    // run once per materialization. The vertex set is NOT materialized
+    // separately: every pair endpoint appears as an edge src, so
+    // ccLabels' round-1 hooking aggregate IS the vertex set (passing
+    // ids = None skips the distinct exchange and round 1's left join).
     val pairs = minhashLsh(spark, sfDir).select("doc_a", "doc_b").persist()
-    val verts = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct()
-    try ccLabels(spark, verts, pairs, maxIters, checkpointDir)._1
+    try ccLabels(spark, None, pairs, maxIters, checkpointDir)._1
     finally pairs.unpersist(blocking = false)
   }
 
@@ -327,7 +328,16 @@ object Dedup {
     * concurrent jobs relying on a different checkpoint dir should not
     * share the SparkContext with this call. */
   def ccLabels(spark: SparkSession, ids: DataFrame, pairs: DataFrame,
-      maxIters: Int = 64, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+      maxIters: Int = 64, checkpointDir: Option[String] = None): (DataFrame, Int) =
+    ccLabels(spark, Option(ids), pairs, maxIters, checkpointDir)
+
+  /** Core loop. `ids = None` labels exactly the EDGE ENDPOINTS (every
+    * endpoint appears as a src of the undirected frame, so round 1's
+    * hooking aggregate doubles as the vertex seed — no separate distinct
+    * materialization and no round-1 labels join). Callers with vertices
+    * outside every edge (singletons) must pass them explicitly. */
+  def ccLabels(spark: SparkSession, ids: Option[DataFrame], pairs: DataFrame,
+      maxIters: Int, checkpointDir: Option[String]): (DataFrame, Int) = {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -371,29 +381,38 @@ object Dedup {
     var returning = false
     try {
       // no snapshot for the seed: it is one column duplication over `ids`
-      // (for the cluster operators: a distinct over the persisted pair
-      // frame) — re-evaluating it inside round 1's two joins is cheaper
-      // than a dedicated materialization job
-      labels = ids.select(col("id")).withColumn("label", col("id"))
+      // (when given) — re-evaluating it inside round 1's joins is
+      // cheaper than a dedicated materialization job
+      labels = ids.map(_.select(col("id")).withColumn("label", col("id"))).orNull
       while (!converged && iter < maxIters) {
         // hooking: candidate = min(own label, neighbors' labels); carry
         // the pre-round label so the convergence check is a scan of the
         // cached frame, not another join. Round 1 needs no labels join
         // for the neighbor min — labels are the identity, so
-        // label(dst) = dst and a plain aggregate over the edges suffices.
-        val nbrMin =
-          (if (iter == 0) undirected.select(col("src"), col("dst").as("label"))
-           else undirected.join(labels, undirected("dst") === labels("id"))
-             .select(undirected("src"), col("label")))
-            .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-        // persist: the hooking subtree (the round's expensive join+agg)
-        // feeds the convergence check AND both sides of the doubling
-        // self-join — without it each reference would re-evaluate the
-        // joins (ADVICE r3)
-        val hooked = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-            labels("label").as("old"))
+        // label(dst) = dst and a plain aggregate over the edges
+        // suffices; with no explicit ids it IS the whole round (the
+        // aggregate's keys are the vertex set).
+        val hooked = (
+          if (iter == 0 && labels == null)
+            undirected.groupBy(col("src")).agg(min(col("dst")).as("nbr"))
+              .select(col("src").as("id"),
+                least(col("src"), col("nbr")).as("label"),
+                col("src").as("old"))
+          else {
+            val nbrMin =
+              (if (iter == 0) undirected.select(col("src"), col("dst").as("label"))
+               else undirected.join(labels, undirected("dst") === labels("id"))
+                 .select(undirected("src"), col("label")))
+                .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+            labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+              .select(labels("id"),
+                least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+                labels("label").as("old"))
+          })
+          // persist: the hooking subtree (the round's expensive
+          // join+agg) feeds the convergence check AND both sides of the
+          // doubling self-join — without it each reference would
+          // re-evaluate the joins (ADVICE r3)
           .persist()
         // convergence is decided on the HOOKING output, before paying the
         // doubling join: hooking-stability alone implies the min-label
@@ -405,6 +424,8 @@ object Dedup {
         // L(m) ≥ m). Doubling is purely an accelerator, so the final
         // confirm round skips its join and checkpoint outright.
         converged = hooked.where(col("label") =!= col("old")).limit(1).count() == 0
+        if (converged && labels == null)
+          labels = hooked.select(col("id"), col("label")) // empty edge set
         if (!converged) {
           // shortcutting: label ← label(label) (pointer doubling)
           val l = hooked.select(col("id").as("lid"), col("label").as("llabel"))

@@ -82,13 +82,18 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, sfDir: String,
       queries: Seq[String] = DefaultQueries, k: Int = 5): DataFrame = {
     val terms = termsFrame(spark, queries)
+    val queryWords = queries.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
     val docs = TableIO.rebalanceSmall(TableIO(spark, sfDir).read("documents"))
     val words = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("word"))
-      .where(col("word") =!= "")
-    // inverted index: postings with term frequency (map-side combined)
+      // drop non-query words BEFORE the tf aggregate (guide §3.2 semi-
+      // join pre-filter, here exact since the term list is tiny driver
+      // state): the aggregate then counts postings of the query terms
+      // only instead of the whole vocabulary — the inner join on word
+      // below made this restriction anyway, just one exchange too late
+      .where(col("word") =!= "" && col("word").isin(queryWords: _*))
+    // query-term postings with term frequency (map-side combined)
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // restrict to query terms BEFORE any corpus-wide work
     val qtf = tf.join(broadcast(terms), "word")
     val df = qtf.select("word", "doc_id").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
@@ -152,9 +157,16 @@ object Retrieval {
       queries: Seq[String] = DefaultQueries, k: Int = 5,
       prefix: String = "bm25"): DataFrame = {
     val terms = termsFrame(spark, queries)
-    val qtf = io.read(s"${prefix}_postings").join(broadcast(terms), "word")
+    val queryWords = queries.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+    // the isin predicate (unlike the broadcast join alone) pushes down
+    // to the postings/wordstats parquet scans — PushedFilters: In(word)
+    // — so the probe reads the query terms' postings, not the index
+    val qtf = io.read(s"${prefix}_postings")
+      .where(col("word").isin(queryWords: _*))
+      .join(broadcast(terms), "word")
     // df rows for the query words only — tiny, broadcast
     val df = io.read(s"${prefix}_wordstats")
+      .where(col("word").isin(queryWords: _*))
       .join(broadcast(terms.select("word").distinct()), "word")
     val scored = qtf.join(broadcast(df), "word")
       .crossJoin(broadcast(io.read(s"${prefix}_stats")))
