@@ -220,7 +220,7 @@ object Similarity {
       .select("vec_id", "embedding").as[(Long, Array[Float])]
     val q = trainQuantizer(emb, numCentroids, lloydIters, sampleCap)
     val bcQ = spark.sparkContext.broadcast(q)
-    val cells = emb.map { case (id, v) =>
+    val cells = rebalanceSmall(emb).map { case (id, v) =>
       var n = 0.0; var j = 0
       while (j < v.length) { val x = v(j).toDouble; n += x * x; j += 1 }
       (bcQ.value.nearest(v), id, v, math.sqrt(n))
@@ -290,7 +290,7 @@ object Similarity {
       .select("vec_id", "embedding").as[(Long, Array[Float])]
     val cb = trainPq(emb, m, ksub, lloydIters, sampleCap)
     val bcCb = spark.sparkContext.broadcast(cb)
-    io.write(emb.map { case (id, v) => (id, bcCb.value.encode(v)) }
+    io.write(rebalanceSmall(emb).map { case (id, v) => (id, bcCb.value.encode(v)) }
       .toDF("corpus_id", "codes"), s"${prefix}_codes",
       org.apache.spark.sql.SaveMode.Overwrite)
     io.write(cb.cents.zipWithIndex.flatMap { case (subCents, s) =>
