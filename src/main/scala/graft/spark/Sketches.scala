@@ -158,16 +158,29 @@ object Sketches {
       val h = Hash61.wordHash(w)
       (0 until depth).iterator.map(r => (r, (Hash61.mix(h ^ seeds(r)) % width).toInt))
     }.toDF("r", "col").groupBy("r", "col").agg(count(lit(1)).as("c"))
-    val totals = words.agg(count(lit(1)).as("total"))
+    // the corpus total rides the sketch: every occurrence contributes
+    // exactly one row-0 counter increment, so summing row 0 of the
+    // (≤ d·w row) matrix IS the occurrence count — the dedicated
+    // corpus-wide count() pass this replaces was a full tokenize scan
+    // for a number the sketch already holds (guide §1.2). It is
+    // attached as an unpartitioned window sum over the counter frame
+    // itself (single-partition over ≤ d·w rows — fixed sketch state,
+    // corpus-size independent) so the plan holds exactly ONE sketch
+    // subtree: a second reference would re-run the tokenize pass
+    // (typed-lambda subtrees defeat exchange reuse), and the broadcast
+    // crossJoin the separate totals frame needed disappears with it
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val countersT = counters.withColumn("total",
+      sum(when(col("r") === 0, col("c")).otherwise(0L)).over(wAll))
     // probe the sketch for every DISTINCT token (vocabulary-bounded)
     val probes = words.distinct().as[String].flatMap { w =>
       val h = Hash61.wordHash(w)
       (0 until depth).iterator.map(r => (w, r, (Hash61.mix(h ^ seeds(r)) % width).toInt))
     }.toDF("word", "r", "col")
-    val est = probes.join(counters, Seq("r", "col"))
-      .groupBy("word").agg(min(col("c")).as("cms_est"))
-    val cand = est.crossJoin(broadcast(totals))
-      .where(col("cms_est") * heavyDenom >= col("total"))
+    val est = probes.join(countersT, Seq("r", "col"))
+      .groupBy("word").agg(min(col("c")).as("cms_est"), max(col("total")).as("total"))
+    val cand = est.where(col("cms_est") * heavyDenom >= col("total"))
     // exact pass restricted to the candidates the sketch surfaced
     val exact = words.join(broadcast(cand.select("word")), "word")
       .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
