@@ -76,6 +76,40 @@ object BenchExtra {
           spark.sparkContext.removeSparkListener(lst)
           println(f"== $name total ${wall}%.3f s")
         }
+      case "streamfloor" =>
+        // harness-floor measurement for the streaming replay faces: how
+        // much wall does an N-micro-batch memory-sink stream cost when
+        // the per-batch work is trivial? Separates engine fixed cost
+        // (per-batch incremental planning, WAL, state commit) from the
+        // operators' own time in the streaming_* queries.
+        import org.apache.spark.sql.functions.{col, pmod}
+        val n = args.lift(1).map(_.toInt).getOrElse(5)
+        (1 to runs).foreach { i =>
+          val classed = spark.range(1000)
+            .withColumn("cls", pmod(col("id"), org.apache.spark.sql.functions
+              .lit(n.toLong)).cast("int"))
+          val t0 = System.nanoTime()
+          // stateless identity
+          val statelessN = graft.spark.StreamingExtract
+            .runReplay(spark, "floor_stateless_", classed, n)(src => src).count()
+          val t1 = System.nanoTime()
+          // minimal stateful: one aggregate (complete-mode planning cost
+          // differs; use the same append-mode shape as the faces via
+          // dropDuplicates on a watermarked column is overkill — a plain
+          // groupBy in update mode cannot use the shared runReplay, so
+          // measure dropDuplicates which is append-safe state)
+          val classed2 = spark.range(1000)
+            .selectExpr("id", "timestamp_micros(1000000000 + id) AS ts")
+            .withColumn("cls", pmod(col("id"), org.apache.spark.sql.functions
+              .lit(n.toLong)).cast("int"))
+          val t2 = System.nanoTime()
+          val statefulN = graft.spark.StreamingExtract
+            .runReplay(spark, "floor_stateful_", classed2, n)(src =>
+              src.withWatermark("ts", "1 hour").dropDuplicates("id")).count()
+          val t3 = System.nanoTime()
+          println(f"floor#$i n=$n stateless=${(t1 - t0) / 1e9}%.3f s (rows=$statelessN) " +
+            f"stateful=${(t3 - t2) / 1e9}%.3f s (rows=$statefulN)")
+        }
       case "plan" =>
         val outDir = args(1)
         new java.io.File(outDir).mkdirs()

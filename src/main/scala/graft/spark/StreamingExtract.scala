@@ -141,7 +141,7 @@ object StreamingExtract {
     * the RAM-backed scratch root: per micro-batch the state store writes
     * one delta per shuffle partition plus offset/commit WAL files, which
     * on the sandbox's shared disk is the dominant fixed cost. */
-  private[spark] def runReplay(spark: SparkSession, prefix: String,
+  private[graft] def runReplay(spark: SparkSession, prefix: String,
       classed: org.apache.spark.sql.DataFrame, nClasses: Int)(
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
