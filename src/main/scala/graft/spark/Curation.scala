@@ -219,8 +219,18 @@ object Curation {
     }.toDF("doc_id", "h1", "bgh")
     val vocab = docs.flatMap { case (_, t) => t.split(" ").filter(_.nonEmpty) }
       .distinct().count()
-    val cbg = pos.groupBy("bgh").agg(count(lit(1)).as("cbg"))
-    val cctx = pos.groupBy("h1").agg(count(lit(1)).as("cctx"))
+    // one position-level aggregate feeds BOTH model tables: grouping by
+    // (h1, bgh) first is exact (bgh counts and h1 context counts are
+    // sums of the disjoint (h1, bgh) cells — no collision caveat), and
+    // it gives the two branches an IDENTICAL child exchange, which the
+    // engine reuses at runtime — the corpus bigram kernel runs once for
+    // the model instead of once per table (guide §1.2/§2.4; the direct
+    // groupBy("bgh") / groupBy("h1") pair exchanged on different keys,
+    // so nothing could be shared and the typed flatMap ran twice). The
+    // second aggregates are bigram-TYPE-level — tiny next to positions.
+    val pairs = pos.groupBy("h1", "bgh").agg(count(lit(1)).as("c"))
+    val cbg = pairs.groupBy("bgh").agg(sum(col("c")).as("cbg"))
+    val cctx = pairs.groupBy("h1").agg(sum(col("c")).as("cctx"))
     val perPos = pos.join(cbg, "bgh").join(cctx, "h1")
       .select(col("doc_id"),
         floor(log((col("cbg") + 1).cast("double") /
